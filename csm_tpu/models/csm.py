@@ -1,0 +1,335 @@
+"""CSM model assembly: embeddings, heads, forward pass, and training losses.
+
+Faithful to the reference ``CSMModel`` (``modeling_csm.py:192-482``) while
+being TPU-native (static shapes, functional params, fp32 loss accumulation):
+
+- Separate text ``[text_vocab, D]`` and shared audio ``[32*2051, D]``
+  embedding tables with the ``codebook_index * audio_vocab_size`` offset
+  trick (``modeling_csm.py:222-225, 247-259``).
+- Frame embedding = mask-weighted **sum** of the 33 token embeddings
+  (``modeling_csm.py:327-334``).
+- Backbone loss: causally shifted CE on codebook-0 labels, fp32
+  (``modeling_csm.py:374-385``).
+- Decoder loss: frames whose 32 audio labels are all present are gathered,
+  conditioned on the backbone hidden at **t−1** (including the reference's
+  wrap-around for a valid frame at t=0 — torch ``h[..., -1]`` negative
+  indexing, ``modeling_csm.py:401-403``), run through the intra-frame
+  decoder as ``[hidden; cb0..cb31]`` (33 tokens), classified per-codebook
+  via ``einsum('fcd,cdv->fcv', hidden[:,1:32], audio_head)`` and averaged
+  over non-ignored targets (``modeling_csm.py:394-461``).
+
+Static-shape departure (SURVEY §7 "hard parts"): the reference gathers a
+data-dependent number of valid frames; here the gather is padded/truncated to
+a **static** ``max_decoder_frames`` with zero-weight slots, which keeps the
+training step jittable.  With ``max_decoder_frames >= true count`` the loss
+is bit-comparable to the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from csm_tpu.config import CSMConfig
+from csm_tpu.models import llama
+from csm_tpu.models.llama import KVCache
+from csm_tpu.ops.rope import compute_rope_table
+
+
+@struct.dataclass
+class CSMOutput:
+    """Result structure mirroring the reference ``CSMOutput``
+    (``modeling_csm.py:30-49``)."""
+
+    last_hidden_state: Optional[jnp.ndarray] = None  # [B, D] final position
+    logits: Optional[jnp.ndarray] = None  # [B, audio_vocab] c0 logits, final position
+    cache: Optional[KVCache] = None
+    samples: Optional[jnp.ndarray] = None  # [B, 32] from generate_frame
+    loss: Optional[jnp.ndarray] = None
+    backbone_loss: Optional[jnp.ndarray] = None
+    decoder_loss: Optional[jnp.ndarray] = None
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, config: CSMConfig, dtype=jnp.float32) -> dict:
+    """Initialize the full CSM parameter pytree.
+
+    Linear/embedding weights ~ N(0, 0.02); linear weights stored input-major
+    ``[in, out]``; ``audio_head`` keeps the reference layout
+    ``[num_codebooks-1, decoder_dim, audio_vocab]`` (``modeling_csm.py:235-240``).
+    """
+    kb, kd, k1, k2, k3, k4, k5 = jax.random.split(key, 7)
+    D = config.backbone.hidden_size
+    Dd = config.decoder.hidden_size
+    Va = config.audio_vocab_size
+
+    def normal(k, shape):
+        return (0.02 * jax.random.normal(k, shape, jnp.float32)).astype(dtype)
+
+    return {
+        "backbone": llama.init_params(kb, config.backbone, dtype),
+        "decoder": llama.init_params(kd, config.decoder, dtype),
+        "text_embeddings": normal(k1, (config.text_vocab_size, D)),
+        "audio_embeddings": normal(k2, (config.audio_embedding_rows, D)),
+        "projection": normal(k3, (D, Dd)),
+        "codebook0_head": normal(k4, (D, Va)),
+        "audio_head": normal(k5, (config.audio_num_codebooks - 1, Dd, Va)),
+    }
+
+
+def rope_tables(config: CSMConfig):
+    """(cos, sin) tables for both stacks.  Pure numpy precompute — inside a
+    jit trace these become compile-time constants."""
+    return {
+        "backbone": compute_rope_table(config.backbone, config.max_seq_len),
+        "decoder": compute_rope_table(config.decoder, config.decoder_rope_positions),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Embeddings
+# ---------------------------------------------------------------------------
+
+
+def embed_audio(params: dict, config: CSMConfig, codebook: int, tokens: jnp.ndarray) -> jnp.ndarray:
+    """Embedding lookup for one codebook, offset by ``codebook * audio_vocab``
+    into the shared table (``modeling_csm.py:247-259``)."""
+    return jnp.take(
+        params["audio_embeddings"], tokens + codebook * config.audio_vocab_size, axis=0
+    )
+
+
+def embed_frames(
+    params: dict,
+    config: CSMConfig,
+    input_ids: jnp.ndarray,  # [B, S, 33] int
+    attention_mask: Optional[jnp.ndarray],  # [B, S, 33] or None
+) -> jnp.ndarray:
+    """Fused 33-way masked embedding-sum → one vector per frame ``[B, S, D]``.
+
+    Equivalent to the reference's embed → mask-multiply → sum over the token
+    axis (``modeling_csm.py:261-282, 327-334``), but never materializes the
+    ``[B, S, 33, D]`` intermediate's text/audio concat — audio and text
+    contributions are reduced separately and added.
+    """
+    N = config.audio_num_codebooks
+    offsets = jnp.arange(N, dtype=input_ids.dtype) * config.audio_vocab_size
+    audio_ids = input_ids[..., :N] + offsets  # [B, S, N]
+    audio_emb = jnp.take(params["audio_embeddings"], audio_ids, axis=0)  # [B,S,N,D]
+    text_emb = jnp.take(params["text_embeddings"], input_ids[..., N], axis=0)  # [B,S,D]
+    if attention_mask is not None:
+        m = attention_mask.astype(audio_emb.dtype)
+        audio_sum = jnp.einsum("bsnd,bsn->bsd", audio_emb, m[..., :N])
+        text_part = text_emb * m[..., N][..., None]
+    else:
+        audio_sum = audio_emb.sum(axis=2)
+        text_part = text_emb
+    return audio_sum + text_part
+
+
+# ---------------------------------------------------------------------------
+# Loss helpers
+# ---------------------------------------------------------------------------
+
+
+def _masked_ce(
+    logits: jnp.ndarray,  # [N, V]
+    targets: jnp.ndarray,  # [N] int, -100 = ignore
+    weight: Optional[jnp.ndarray] = None,  # [N] extra 0/1 weight
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean cross-entropy over non-ignored targets, fp32 (torch
+    ``CrossEntropyLoss(ignore_index=-100)`` semantics).
+
+    Deliberate deviation: with zero non-ignored targets torch returns NaN
+    (0/0); this returns 0.0 so a fully-masked batch cannot poison training.
+    """
+    valid = targets != -100
+    if weight is not None:
+        valid = valid & (weight > 0)
+    safe = jnp.where(valid, targets, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[:, None], axis=1)[:, 0]
+    n = jnp.sum(valid)
+    total = jnp.sum(jnp.where(valid, nll, 0.0))
+    return jnp.where(n > 0, total / n, 0.0), n
+
+
+def _select_decoder_frames(
+    valid: jnp.ndarray, max_frames: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape selection of (up to) ``max_frames`` flat indices of valid
+    frames, earliest first; padded slots get weight 0."""
+    flat = valid.reshape(-1)
+    n = flat.shape[0]
+    # Sort key: valid frames keep their original order and precede invalid.
+    key = jnp.where(flat, 0, n) + jnp.arange(n)
+    order = jnp.argsort(key)
+    idx = order[:max_frames]
+    return idx, flat[idx]
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def backbone_forward(
+    params: dict,
+    config: CSMConfig,
+    input_ids: jnp.ndarray,  # [B, S, 33]
+    attention_mask: Optional[jnp.ndarray],  # [B, S, 33]
+    *,
+    cache: Optional[KVCache] = None,
+    positions: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Embed-sum + backbone stack.  Returns full hidden ``[B, S, D]``.
+
+    Per-frame attention validity is the collapsed 33-token mask
+    ``any(mask) > 0`` (``modeling_csm.py:337-342``).  Positions default to
+    sequential frame indices (HF ``cache_position`` semantics — left padding
+    is numbered, then masked out of attention).
+    """
+    B, S, _ = input_ids.shape
+    h = embed_frames(params, config, input_ids, attention_mask)
+    if attention_mask is not None:
+        frame_valid = attention_mask.sum(axis=-1) > 0  # [B, S]
+    else:
+        frame_valid = jnp.ones((B, S), jnp.bool_)
+
+    rope = compute_rope_table(config.backbone, config.max_seq_len)
+
+    if cache is None:
+        if positions is None:
+            positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+        bias = llama.make_causal_bias(frame_valid, S)
+        hidden, _ = llama.forward(
+            params["backbone"], config.backbone, h,
+            rope_table=rope, positions=positions, attn_bias=bias, cache=None,
+        )
+        return hidden, None
+
+    # Cached path: write this chunk's validity into the cache window, then
+    # attend over the full static window.
+    start = cache.index
+    if positions is None:
+        positions = jnp.broadcast_to(
+            start + jnp.arange(S, dtype=jnp.int32), (B, S)
+        )
+    key_valid = jax.lax.dynamic_update_slice(cache.valid, frame_valid, (0, start))
+    bias = llama.make_causal_bias(key_valid, S, q_offset=start)
+    cache = cache.replace(valid=key_valid)
+    hidden, new_cache = llama.forward(
+        params["backbone"], config.backbone, h,
+        rope_table=rope, positions=positions, attn_bias=bias, cache=cache,
+    )
+    return hidden, new_cache
+
+
+def decoder_forward_full(
+    params: dict, config: CSMConfig, decoder_inputs: jnp.ndarray
+) -> jnp.ndarray:
+    """Uncached intra-frame decoder on ``[F, 33, decoder_dim]`` inputs with
+    sequential positions 0..32 (training path, ``modeling_csm.py:439-441``)."""
+    rope = compute_rope_table(config.decoder, config.decoder_rope_positions)
+    return llama.forward_uncached(
+        params["decoder"], config.decoder, decoder_inputs, rope_table=rope
+    )
+
+
+def forward(
+    params: dict,
+    config: CSMConfig,
+    input_ids: jnp.ndarray,  # [B, S, 33]
+    attention_mask: Optional[jnp.ndarray] = None,  # [B, S, 33]
+    labels: Optional[jnp.ndarray] = None,  # [B, S, 33], -100 = ignore
+    *,
+    cache: Optional[KVCache] = None,
+    positions: Optional[jnp.ndarray] = None,
+    max_decoder_frames: Optional[int] = None,
+    return_all_logits: bool = False,
+) -> CSMOutput:
+    """Full forward pass with optional training losses
+    (``modeling_csm.py:292-482``).
+
+    Args:
+        max_decoder_frames: static cap on decoder-loss frames (see module
+            docstring).  Defaults to ``B*S`` (exact but memory-heavy); the
+            training loop passes ``~B*S/amortization_ratio``.
+    """
+    B, S, _ = input_ids.shape
+    N = config.audio_num_codebooks
+
+    hidden, new_cache = backbone_forward(
+        params, config, input_ids, attention_mask, cache=cache, positions=positions
+    )
+
+    head = params["codebook0_head"]
+    last_h = hidden[:, -1, :]
+    c0_logits_last = last_h @ head
+
+    loss = backbone_loss = decoder_loss = None
+    c0_all = None
+    if labels is not None or return_all_logits:
+        c0_all = hidden @ head  # [B, S, Va]
+
+    if labels is not None:
+        # --- backbone (codebook-0) loss: shifted CE, fp32 -----------------
+        shift_logits = c0_all[:, :-1, :].reshape(-1, config.audio_vocab_size)
+        shift_labels = labels[:, 1:, 0].reshape(-1)
+        backbone_loss, _ = _masked_ce(shift_logits, shift_labels)
+
+        # --- decoder (codebooks 1..N-1) loss ------------------------------
+        if max_decoder_frames is None:
+            max_decoder_frames = B * S
+        audio_labels = labels[..., :N]
+        valid = jnp.all(audio_labels != -100, axis=-1)  # [B, S]
+        idx, weight = _select_decoder_frames(valid, max_decoder_frames)
+        b_idx, t_idx = idx // S, idx % S
+
+        # Backbone hidden at t−1 — the state that *predicted* frame t.  The
+        # reference's `(t-1)` gather uses torch negative indexing, so t=0
+        # wraps to S−1 (``modeling_csm.py:401-403``); `% S` reproduces that.
+        prev_h = hidden[b_idx, (t_idx - 1) % S]  # [F, D]
+        frame_codebooks = input_ids[b_idx, t_idx, :N]  # [F, N]
+        frame_labels = audio_labels[b_idx, t_idx]  # [F, N]
+
+        proj = params["projection"]
+        offsets = jnp.arange(N, dtype=frame_codebooks.dtype) * config.audio_vocab_size
+        cb_emb = jnp.take(
+            params["audio_embeddings"], frame_codebooks + offsets, axis=0
+        )  # [F, N, D]
+        dec_in = jnp.concatenate(
+            [(prev_h @ proj)[:, None, :], cb_emb @ proj], axis=1
+        )  # [F, 1+N, Dd]
+
+        dec_hidden = decoder_forward_full(params, config, dec_in)
+        cb_hidden = dec_hidden[:, 1:N, :]  # [F, N-1, Dd]
+        cb_logits = jnp.einsum(
+            "fcd,cdv->fcv", cb_hidden, params["audio_head"],
+            preferred_element_type=jnp.float32,
+        )  # [F, N-1, Va]
+
+        targets = frame_labels[:, 1:]  # [F, N-1]
+        w = jnp.broadcast_to(weight[:, None], targets.shape)
+        decoder_loss, _ = _masked_ce(
+            cb_logits.reshape(-1, config.audio_vocab_size),
+            targets.reshape(-1),
+            w.reshape(-1),
+        )
+        loss = backbone_loss + decoder_loss
+
+    return CSMOutput(
+        last_hidden_state=last_h,
+        logits=c0_all if return_all_logits else c0_logits_last,
+        cache=new_cache,
+        loss=loss,
+        backbone_loss=backbone_loss,
+        decoder_loss=decoder_loss,
+    )

@@ -1,0 +1,303 @@
+"""Functional Llama transformer stack for TPU.
+
+One parametric module instantiated twice by CSM (SURVEY §7 step 1): the
+backbone (16L / 2048h / 32Q-8KV heads) and the intra-frame decoder
+(4L / 1024h / 8Q-2KV heads).  Behavior matches HF ``LlamaModel`` as used by
+the reference (``modeling_csm.py:156-167``, with ``embed_tokens`` replaced by
+identity — callers always feed ``inputs_embeds``):
+
+- RMSNorm (eps 1e-5, fp32 accumulation),
+- GQA attention with llama3-scaled RoPE (:mod:`csm_tpu.ops.rope`),
+- SiLU-gated MLP, no biases anywhere,
+- pre-norm residual blocks + final norm.
+
+TPU-first design choices:
+
+- **Parameters are stacked across layers** (leading axis ``L``) and the
+  forward pass is a single ``lax.scan`` over layers — one compiled loop body
+  instead of ``L`` unrolled blocks.
+- **The KV cache is a static-shape ring of arrays** ``[L, B, max_len, kv_heads,
+  head_dim]`` with an explicit write index and a per-position validity mask;
+  decode attends over the full (static) window under that mask.  This is the
+  static-shape replacement for HF ``DynamicCache``
+  (``modeling_csm.py:284-290``).
+- Softmax and norm accumulate in fp32; matmuls run in the parameter dtype
+  with fp32 preferred accumulation (MXU-friendly bf16 weights).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from csm_tpu.config import LlamaConfig
+from csm_tpu.ops.rope import apply_rope, compute_rope_table
+
+# Large negative (finite) attention bias: finite so fully-masked rows softmax
+# to uniform instead of NaN (matching HF's min-dtype masking behavior).
+NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, config: LlamaConfig, dtype=jnp.float32) -> dict:
+    """Initialize stacked Llama parameters.
+
+    Linear weights ~ N(0, 0.02) (HF ``initializer_range`` default), norms = 1.
+    All linear weights are stored **input-major** ``[in, out]`` (transposed
+    from torch's ``[out, in]``) so forward matmuls need no transpose.
+    """
+    L = config.num_hidden_layers
+    D = config.hidden_size
+    F = config.intermediate_size
+    hd = config.head_dim
+    nq, nkv = config.num_attention_heads, config.num_key_value_heads
+
+    keys = jax.random.split(key, 7)
+
+    def normal(k, shape):
+        return (0.02 * jax.random.normal(k, shape, jnp.float32)).astype(dtype)
+
+    return {
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "wq": normal(keys[0], (L, D, nq * hd)),
+            "wk": normal(keys[1], (L, D, nkv * hd)),
+            "wv": normal(keys[2], (L, D, nkv * hd)),
+            "wo": normal(keys[3], (L, nq * hd, D)),
+            "mlp_norm": jnp.ones((L, D), dtype),
+            "w_gate": normal(keys[4], (L, D, F)),
+            "w_up": normal(keys[5], (L, D, F)),
+            "w_down": normal(keys[6], (L, F, D)),
+        },
+        "final_norm": jnp.ones((D,), dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class KVCache:
+    """Static-shape KV cache for incremental decode.
+
+    ``k``/``v``: ``[L, B, max_len, kv_heads, head_dim]``; ``valid``: per-key
+    usability mask ``[B, max_len]`` (0 for unwritten slots *and* padding
+    frames); ``index``: next write position (scalar, also the position id of
+    the next fed token when the caller uses sequential positions).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    valid: jnp.ndarray
+    index: jnp.ndarray
+
+    @classmethod
+    def create(
+        cls, config: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+    ) -> "KVCache":
+        shape = (config.num_hidden_layers, batch, max_len, config.num_key_value_heads, config.head_dim)
+        return cls(
+            k=jnp.zeros(shape, dtype),
+            v=jnp.zeros(shape, dtype),
+            valid=jnp.zeros((batch, max_len), jnp.bool_),
+            index=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rmsnorm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm with fp32 accumulation, matching HF ``LlamaRMSNorm``."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed.astype(dtype)) * weight
+
+
+def _attention(
+    q: jnp.ndarray,  # [B, S, nq, hd]
+    k: jnp.ndarray,  # [B, T, nkv, hd]
+    v: jnp.ndarray,  # [B, T, nkv, hd]
+    bias: jnp.ndarray,  # [B, 1, 1, S, T] additive (0 or NEG_INF)
+) -> jnp.ndarray:
+    """Grouped-query attention, fp32 softmax.  Returns ``[B, S, nq*hd]``."""
+    B, S, nq, hd = q.shape
+    T = k.shape[1]
+    nkv = k.shape[2]
+    g = nq // nkv
+    qg = q.reshape(B, S, nkv, g, hd).transpose(0, 2, 3, 1, 4)  # [B,nkv,g,S,hd]
+    kk = k.transpose(0, 2, 1, 3)  # [B,nkv,T,hd]
+    vv = v.transpose(0, 2, 1, 3)
+    scores = jnp.einsum(
+        "bngsh,bnth->bngst", qg, kk, preferred_element_type=jnp.float32
+    ) * (1.0 / jnp.sqrt(hd).astype(jnp.float32))
+    scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bngst,bnth->bngsh", probs, vv)  # [B,nkv,g,S,hd]
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, nq * hd)
+
+
+def _layer(
+    h: jnp.ndarray,
+    lp: dict,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    bias: jnp.ndarray,
+    config: LlamaConfig,
+    cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    cache_index: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One pre-norm transformer block.  If ``cache_kv`` is given, the new K/V
+    rows are written at ``cache_index`` and attention runs over the full
+    cached window; returns the updated per-layer cache."""
+    B, S, D = h.shape
+    nq, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
+
+    x = rmsnorm(h, lp["attn_norm"], config.rms_norm_eps)
+    q = (x @ lp["wq"]).reshape(B, S, nq, hd)
+    k = (x @ lp["wk"]).reshape(B, S, nkv, hd)
+    v = (x @ lp["wv"]).reshape(B, S, nkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_kv is not None:
+        ck, cv = cache_kv  # [B, max_len, nkv, hd]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        attn = _attention(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
+        new_cache = (ck, cv)
+    else:
+        attn = _attention(q, k, v, bias)
+        new_cache = (k, v)
+
+    h = h + attn @ lp["wo"]
+    x = rmsnorm(h, lp["mlp_norm"], config.rms_norm_eps)
+    gated = jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])
+    h = h + gated @ lp["w_down"]
+    return h, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Forward passes
+# ---------------------------------------------------------------------------
+
+
+def make_causal_bias(
+    key_valid: jnp.ndarray, q_len: int, q_offset: jnp.ndarray | int = 0
+) -> jnp.ndarray:
+    """Additive attention bias ``[B, 1, 1, q_len, T]``.
+
+    ``key_valid``: ``[B, T]`` — usable key positions (excludes padding and
+    unwritten cache slots).  Causality: query at absolute position
+    ``q_offset + s`` may attend to key positions ``<= q_offset + s`` (cache
+    layouts are position-ordered).
+    """
+    B, T = key_valid.shape
+    q_pos = q_offset + jnp.arange(q_len)[:, None]  # [q_len, 1]
+    k_pos = jnp.arange(T)[None, :]  # [1, T]
+    causal = k_pos <= q_pos  # [q_len, T]
+    ok = causal[None] & key_valid[:, None, :]  # [B, q_len, T]
+    return jnp.where(ok, 0.0, NEG_INF)[:, None, None, :, :]
+
+
+def forward(
+    params: dict,
+    config: LlamaConfig,
+    inputs_embeds: jnp.ndarray,  # [B, S, D]
+    *,
+    rope_table: Tuple[jnp.ndarray, jnp.ndarray],
+    positions: jnp.ndarray,  # [B, S] int32 position ids
+    attn_bias: jnp.ndarray,  # [B, 1, 1, S, T] additive bias
+    cache: Optional[KVCache] = None,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the full stack via ``lax.scan`` over layers.
+
+    Without a cache this is the training / no-cache path (T == S).  With a
+    cache, K/V for the fed chunk are written at ``cache.index`` and attention
+    spans the cache window (T == cache.max_len); the returned cache has its
+    index advanced by ``S``.
+    """
+    cos_t, sin_t = rope_table
+    cos = jnp.take(cos_t, positions, axis=0)  # [B, S, hd]
+    sin = jnp.take(sin_t, positions, axis=0)
+
+    layer_params = params["layers"]
+
+    if cache is None:
+        def body(h, lp):
+            h, _ = _layer(h, lp, cos, sin, attn_bias, config)
+            return h, None
+
+        h, _ = jax.lax.scan(body, inputs_embeds, layer_params)
+        new_cache = None
+    else:
+        def body(h, xs):
+            lp, ck, cv = xs
+            h, (nk, nv) = _layer(
+                h, lp, cos, sin, attn_bias, config,
+                cache_kv=(ck, cv), cache_index=cache.index,
+            )
+            return h, (nk, nv)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            body, inputs_embeds, (layer_params, cache.k, cache.v)
+        )
+        new_cache = dataclasses.replace(
+            cache, k=new_k, v=new_v, index=cache.index + inputs_embeds.shape[1]
+        )
+
+    h = rmsnorm(h, params["final_norm"], config.rms_norm_eps)
+    return h, new_cache
+
+
+def forward_uncached(
+    params: dict,
+    config: LlamaConfig,
+    inputs_embeds: jnp.ndarray,
+    *,
+    rope_table: Tuple[jnp.ndarray, jnp.ndarray],
+    frame_valid: Optional[jnp.ndarray] = None,
+    positions: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Convenience full-sequence forward (training path).
+
+    ``frame_valid``: ``[B, S]`` key-padding mask (1 = real frame); defaults to
+    all-valid.  Positions default to ``arange(S)`` per batch row — matching
+    HF's ``cache_position`` semantics, which number left-padded slots too
+    (SURVEY §2a#6; padding is excluded via the attention mask instead).
+    """
+    B, S, _ = inputs_embeds.shape
+    if frame_valid is None:
+        frame_valid = jnp.ones((B, S), jnp.bool_)
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+    bias = make_causal_bias(frame_valid, S)
+    h, _ = forward(
+        params, config, inputs_embeds,
+        rope_table=rope_table, positions=positions, attn_bias=bias, cache=None,
+    )
+    return h
+
+
+def rope_table_for(config: LlamaConfig, max_positions: Optional[int] = None):
+    """Precompute the (cos, sin) RoPE tables for this stack."""
+    return compute_rope_table(config, max_positions)
