@@ -254,6 +254,7 @@ def forward(
     positions: Optional[jnp.ndarray] = None,
     max_decoder_frames: Optional[int] = None,
     return_all_logits: bool = False,
+    last_index: Optional[jnp.ndarray] = None,
 ) -> CSMOutput:
     """Full forward pass with optional training losses
     (``modeling_csm.py:292-482``).
@@ -262,6 +263,9 @@ def forward(
         max_decoder_frames: static cap on decoder-loss frames (see module
             docstring).  Defaults to ``B*S`` (exact but memory-heavy); the
             training loop passes ``~B*S/amortization_ratio``.
+        last_index: position to report as the "final" hidden/logits (the
+            last *real* frame when the input is right-padded to a shape
+            bucket); defaults to the last row.
     """
     B, S, _ = input_ids.shape
     N = config.audio_num_codebooks
@@ -271,7 +275,10 @@ def forward(
     )
 
     head = params["codebook0_head"]
-    last_h = hidden[:, -1, :]
+    if last_index is None:
+        last_h = hidden[:, -1, :]
+    else:
+        last_h = jax.lax.dynamic_index_in_dim(hidden, last_index, axis=1, keepdims=False)
     c0_logits_last = last_h @ head
 
     loss = backbone_loss = decoder_loss = None

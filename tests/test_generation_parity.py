@@ -1,0 +1,154 @@
+"""Greedy token-parity of generation vs the torch reference (SURVEY §4.1).
+
+Greedy (topk=1) sidesteps RNG differences between torch's Gumbel-race
+multinomial and ``jax.random``; token-for-token equality is the contract.
+"""
+
+import numpy as np
+import pytest
+
+from csm_tpu.config import CSMConfig
+
+from tests.oracle import jax_params_from_torch, random_csm_batch, torch_csm_from_config
+
+
+@pytest.fixture(scope="module")
+def tiny_pair():
+    cfg = CSMConfig.tiny()
+    model = torch_csm_from_config(cfg, seed=1)
+    params = jax_params_from_torch(model, cfg)
+    return cfg, model, params
+
+
+def test_generate_frame_greedy_parity(tiny_pair):
+    cfg, model, params = tiny_pair
+    import jax.numpy as jnp
+    import torch
+
+    from csm_tpu import generation
+
+    data = random_csm_batch(cfg, 2, 14, seed=7)
+    with torch.no_grad():
+        t_out = model.generate_frame(
+            input_ids=torch.from_numpy(data["input_ids"]),
+            attention_mask=torch.from_numpy(data["attention_mask"]).float(),
+            temperature=1.0,
+            topk=1,  # deterministic argmax in the reference sampler
+            use_cache=False,
+            return_dict=True,
+        )
+
+    j_out = generation.generate_frame(
+        params, cfg,
+        jnp.asarray(data["input_ids"]),
+        jnp.asarray(data["attention_mask"], jnp.float32),
+        greedy=True,
+    )
+    np.testing.assert_array_equal(np.asarray(j_out.samples), t_out.samples.numpy())
+
+
+@pytest.mark.parametrize("batch,seq,frames", [(1, 10, 6), (2, 18, 5)])
+def test_generate_greedy_parity(tiny_pair, batch, seq, frames):
+    """Multi-frame greedy parity vs a torch full-recompute oracle.
+
+    The oracle replays the reference ``generate`` loop (next-input build at
+    ``modeling_csm.py:675-690``) with ``use_cache=False`` full-context
+    recompute each frame.  Torch's *cached* path drifts from its own
+    uncached path by fp noise, which flips near-tied argmaxes on tiny random
+    weights — the uncached oracle is the well-conditioned target (our cached
+    path is separately proven identical to our uncached path below).
+    """
+    cfg, model, params = tiny_pair
+    import torch
+
+    from csm_tpu import generation
+
+    data = random_csm_batch(cfg, batch, seq, seed=8 + batch)
+    ids = data["input_ids"].copy()
+    mask = data["attention_mask"].astype(np.float32).copy()
+    t_frames = []
+    for _ in range(frames):
+        with torch.no_grad():
+            o = model.generate_frame(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+                temperature=1.0, topk=1, use_cache=False, return_dict=True,
+            )
+        f = o.samples.numpy()
+        if (f == 0).all():
+            break
+        t_frames.append(f)
+        row = np.concatenate([f, np.zeros((batch, 1), f.dtype)], axis=1)[:, None, :]
+        rm = np.zeros((batch, 1, 33), np.float32)
+        rm[:, :, :32] = 1.0
+        ids = np.concatenate([ids, row], axis=1)
+        mask = np.concatenate([mask, rm], axis=1)
+    t_frames = np.stack(t_frames, axis=1)
+
+    j_frames = generation.generate(
+        params, cfg,
+        data["input_ids"], data["attention_mask"],
+        max_new_frames=frames, greedy=True, stop_on_all_zeros=True,
+    )
+    assert j_frames.shape == t_frames.shape
+    np.testing.assert_array_equal(j_frames, t_frames)
+
+
+def test_cached_matches_uncached(tiny_pair):
+    """KV-cached incremental decode must equal full recompute frame-by-frame."""
+    cfg, _, params = tiny_pair
+    import jax.numpy as jnp
+
+    from csm_tpu import generation
+
+    data = random_csm_batch(cfg, 1, 9, seed=11)
+    cached = generation.generate(
+        params, cfg, data["input_ids"], data["attention_mask"],
+        max_new_frames=4, greedy=True, stop_on_all_zeros=False,
+    )
+
+    # Slow oracle: recompute the full (growing) context every frame, uncached.
+    ids = np.asarray(data["input_ids"]).copy()
+    mask = np.asarray(data["attention_mask"], np.float32).copy()
+    out_frames = []
+    for _ in range(4):
+        j = generation.generate_frame(
+            params, cfg, jnp.asarray(ids), jnp.asarray(mask), greedy=True
+        )
+        frame = np.asarray(j.samples)  # [B, 32]
+        out_frames.append(frame)
+        row = np.concatenate([frame, np.zeros((1, 1), frame.dtype)], axis=1)[:, None, :]
+        row_mask = np.zeros((1, 1, 33), np.float32)
+        row_mask[:, :, :32] = 1.0
+        ids = np.concatenate([ids, row], axis=1)
+        mask = np.concatenate([mask, row_mask], axis=1)
+
+    np.testing.assert_array_equal(cached, np.stack(out_frames, axis=1))
+
+
+def test_sampled_mode_runs_and_is_seeded(tiny_pair):
+    """Sampled generation is deterministic per PRNG key and varies across keys."""
+    cfg, _, params = tiny_pair
+    import jax
+
+    from csm_tpu import generation
+
+    data = random_csm_batch(cfg, 1, 8, seed=12)
+    kw = dict(max_new_frames=3, temperature=0.8, topk=5, stop_on_all_zeros=False)
+    a = generation.generate(
+        params, cfg, data["input_ids"], data["attention_mask"],
+        rng=jax.random.key(3), **kw,
+    )
+    b = generation.generate(
+        params, cfg, data["input_ids"], data["attention_mask"],
+        rng=jax.random.key(3), **kw,
+    )
+    c = generation.generate(
+        params, cfg, data["input_ids"], data["attention_mask"],
+        rng=jax.random.key(4), **kw,
+    )
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (1, 3, 32)
+    assert (np.asarray(a) != np.asarray(c)).any()
+    # Samples must be in-vocab.
+    assert (a >= 0).all() and (a < cfg.audio_vocab_size).all()
