@@ -1,0 +1,118 @@
+"""Mesh + sharding rules for CSM parameters and batches.
+
+Axes:
+- ``data``: batch-dimension data parallelism (the reference-equivalent
+  capability — HF Trainer DDP, ``train.py:414-425``); gradients all-reduce
+  over this axis, compiled by XLA.
+- ``model``: Megatron-style tensor parallelism — attention projections are
+  sharded on the head dimension, the gated MLP on the FFN dimension, and the
+  classification heads on the vocab dimension.
+
+These rules are layout metadata only; the model code never mentions an axis
+name, so DP-only (``model=1``) and TP×DP meshes run the same program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    data: Optional[int] = None, model: int = 1, devices=None
+) -> Mesh:
+    """Build a ``(data, model)`` mesh.  ``data`` defaults to
+    ``len(devices) // model``."""
+    if devices is None:
+        devices = jax.devices()
+    if data is None:
+        data = len(devices) // model
+    n = data * model
+    if n > len(devices):
+        raise ValueError(f"mesh {data}x{model} needs {n} devices, have {len(devices)}")
+    grid = np.asarray(devices[:n]).reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
+def _llama_rules() -> dict:
+    """Partition specs for one stacked Llama stack (leading axis = layers)."""
+    return {
+        "layers": {
+            "attn_norm": P(),
+            "wq": P(None, None, "model"),
+            "wk": P(None, None, "model"),
+            "wv": P(None, None, "model"),
+            "wo": P(None, "model", None),
+            "mlp_norm": P(),
+            "w_gate": P(None, None, "model"),
+            "w_up": P(None, None, "model"),
+            "w_down": P(None, "model", None),
+        },
+        "final_norm": P(),
+    }
+
+
+def _specs() -> dict:
+    return {
+        "backbone": _llama_rules(),
+        "decoder": _llama_rules(),
+        # Embedding tables: shard the (large) vocab rows over the model axis;
+        # gathers become XLA collectives.
+        "text_embeddings": P("model", None),
+        "audio_embeddings": P("model", None),
+        "projection": P(),
+        # NOTE: the classification heads' vocab dim is 2051 (odd,
+        # ``modeling_csm.py:64``) — indivisible by any mesh, so these fall
+        # back to replicated via the divisibility check below.
+        "codebook0_head": P(None, "model"),
+        "audio_head": P(None, None, "model"),
+    }
+
+
+def _fit_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop sharding on any dim the mesh doesn't divide evenly (e.g. the odd
+    2051 audio vocab): per-axis graceful fallback to replication."""
+    axes = list(spec) + [None] * (len(shape) - len(spec))
+    fitted = [
+        a if (a is None or shape[i] % mesh.shape[a] == 0) else None
+        for i, a in enumerate(axes)
+    ]
+    return P(*fitted)
+
+
+def param_sharding(mesh: Mesh, params: Optional[dict] = None) -> dict:
+    """Pytree of NamedShardings matching :func:`csm_tpu.models.csm.init_params`.
+
+    With ``params`` given, specs are fitted to actual shapes (indivisible
+    dims replicate); without, the raw specs are used.
+    """
+    specs = _specs()
+    if params is None:
+        return jax.tree.map(
+            lambda spec: NamedSharding(mesh, spec),
+            specs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+    return jax.tree.map(
+        lambda spec, x: NamedSharding(mesh, _fit_spec(spec, x.shape, mesh)),
+        specs,
+        params,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors shard on the leading (batch) axis over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_params(params: dict, mesh: Mesh) -> dict:
+    return jax.device_put(params, param_sharding(mesh, params))
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    s = batch_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}

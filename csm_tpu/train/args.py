@@ -1,0 +1,83 @@
+"""CLI argument dataclasses, mirroring the reference's three-dataclass
+surface (``train.py:212-280``) with the same defaults: lr 5e-6, 3 epochs,
+per-device batch 1, grad-accum 8, logging every step, epoch-based saves
+rotated to 3 checkpoints, optional bf16."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class ModelArguments:
+    """Reference ``ModelArguments`` (``train.py:235-244``)."""
+
+    model_name_or_path: Optional[str] = None  # path to converted weights / checkpoint
+    config_path: Optional[str] = None  # JSON CSMConfig (defaults to CSM-1B shape)
+
+
+@dataclasses.dataclass
+class DataArguments:
+    """Reference ``DataTrainingArguments`` (``train.py:212-232``)."""
+
+    train_file: str = ""
+    eval_file: Optional[str] = None
+    audio_cache_dir: Optional[str] = None
+    amortization_ratio: int = 16
+
+
+@dataclasses.dataclass
+class TrainingArguments:
+    """Reference ``CustomTrainingArguments`` defaults (``train.py:247-280``)
+    plus TPU-specific knobs (mesh shape, static sequence bucket)."""
+
+    output_dir: str = "out"
+    learning_rate: float = 5e-6
+    num_train_epochs: float = 3
+    per_device_train_batch_size: int = 1
+    gradient_accumulation_steps: int = 8
+    logging_steps: int = 1
+    save_strategy: str = "epoch"  # "epoch" | "steps" | "no"
+    save_steps: int = 500
+    save_total_limit: int = 3
+    eval_strategy: str = "no"  # "no" | "epoch" | "steps"
+    eval_steps: int = 500
+    warmup_steps: int = 0
+    weight_decay: float = 0.0
+    max_grad_norm: float = 1.0
+    bf16: bool = False
+    seed: int = 42
+    resume_from_checkpoint: bool = False
+    # TPU-specific
+    max_seq_length: int = 2048  # static per-batch frame bucket
+    mesh_data: Optional[int] = None  # data-parallel axis size (default: all devices)
+    mesh_model: int = 1  # tensor-parallel axis size
+
+
+def parse_args(argv=None) -> Tuple[ModelArguments, DataArguments, TrainingArguments]:
+    """argparse-based equivalent of ``HfArgumentParser`` over the three
+    dataclasses (``train.py:340-343``)."""
+    parser = argparse.ArgumentParser(description="CSM TPU training")
+    for cls in (ModelArguments, DataArguments, TrainingArguments):
+        for f in dataclasses.fields(cls):
+            name = "--" + f.name
+            if f.type in ("bool", bool):
+                parser.add_argument(name, action="store_true", default=f.default)
+            else:
+                typ = {"int": int, "float": float}.get(str(f.type), str)
+                if f.type in (int, float, str):
+                    typ = f.type
+                elif "int" in str(f.type):
+                    typ = int
+                elif "float" in str(f.type):
+                    typ = float
+                default = None if f.default is dataclasses.MISSING else f.default
+                parser.add_argument(name, type=typ, default=default)
+    ns = parser.parse_args(argv)
+
+    def build(cls):
+        return cls(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(cls)})
+
+    return build(ModelArguments), build(DataArguments), build(TrainingArguments)
