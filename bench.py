@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--prompt-frames", type=int, default=64)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--first-frame", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -80,7 +81,9 @@ def main():
         params, config, jnp.asarray(ids), jnp.asarray(mask),
         jnp.int32(S), jax.random.key(1), **kwargs,
     )
-    jax.block_until_ready(frames)
+    # NOTE: materialize via np.asarray — on this backend block_until_ready
+    # does not actually synchronize; only a host transfer is a true barrier.
+    np.asarray(frames)
     compile_s = time.time() - t0
     print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
@@ -92,11 +95,25 @@ def main():
             params, config, jnp.asarray(ids), jnp.asarray(mask),
             jnp.int32(S), jax.random.key(2 + i), **kwargs,
         )
-        jax.block_until_ready(frames)
+        np.asarray(frames)
         times.append(time.time() - t0)
     best = min(times)
     total_frames = int(np.asarray(n).sum())
     fps = total_frames / best
+
+    if args.first_frame:
+        # Secondary: first-frame latency (prefill + one frame); costs an
+        # extra compile (different static max_new_frames), so opt-in.
+        for i in range(2):
+            t0 = time.time()
+            f1, _ = generate_compiled(
+                params, config, jnp.asarray(ids), jnp.asarray(mask),
+                jnp.int32(S), jax.random.key(9 + i),
+                **{**kwargs, "max_new_frames": 1},
+            )
+            np.asarray(f1)
+            first_frame_ms = (time.time() - t0) * 1000
+        print(f"first-frame latency: {first_frame_ms:.1f} ms", file=sys.stderr)
 
     baseline_fps = 1.0 / 0.130  # reference: ~130 ms per frame (BASELINE.md)
     result = {
