@@ -94,6 +94,60 @@ def jax_params_from_state_dict(
     }
 
 
+def _unstack_llama(params: dict, prefix: str) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`_stack_llama`: stacked JAX stacks → reference keys."""
+    out: Dict[str, np.ndarray] = {}
+    lp = params["layers"]
+    L = lp["attn_norm"].shape[0]
+    linear = {
+        "self_attn.q_proj": "wq",
+        "self_attn.k_proj": "wk",
+        "self_attn.v_proj": "wv",
+        "self_attn.o_proj": "wo",
+        "mlp.gate_proj": "w_gate",
+        "mlp.up_proj": "w_up",
+        "mlp.down_proj": "w_down",
+    }
+    norms = {"input_layernorm": "attn_norm", "post_attention_layernorm": "mlp_norm"}
+    for i in range(L):
+        for hf, ours in linear.items():
+            # ascontiguousarray: safetensors silently ignores strides on
+            # transposed views, writing the raw buffer instead.
+            out[f"{prefix}.layers.{i}.{hf}.weight"] = np.ascontiguousarray(
+                np.asarray(lp[ours][i]).T
+            )
+        for hf, ours in norms.items():
+            out[f"{prefix}.layers.{i}.{hf}.weight"] = np.asarray(lp[ours][i])
+    out[f"{prefix}.norm.weight"] = np.asarray(params["final_norm"])
+    return out
+
+
+def state_dict_from_jax_params(params: dict) -> Dict[str, np.ndarray]:
+    """csm_tpu parameter pytree → reference-layout state dict (numpy).
+
+    Enables round-tripping checkpoints back to the PyTorch reference
+    (``save_pretrained`` writes this layout as safetensors).
+    """
+    sd: Dict[str, np.ndarray] = {}
+    sd.update(_unstack_llama(params["backbone"], "backbone"))
+    sd.update(_unstack_llama(params["decoder"], "decoder"))
+    sd["text_embeddings.weight"] = np.asarray(params["text_embeddings"])
+    sd["audio_embeddings.weight"] = np.asarray(params["audio_embeddings"])
+    sd["projection.weight"] = np.ascontiguousarray(np.asarray(params["projection"]).T)
+    sd["codebook0_head.weight"] = np.ascontiguousarray(
+        np.asarray(params["codebook0_head"]).T
+    )
+    sd["audio_head"] = np.asarray(params["audio_head"])
+    return sd
+
+
+def save_params_to_safetensors(path: str, params: dict) -> None:
+    """Write params as a reference-layout ``.safetensors`` file."""
+    from safetensors.numpy import save_file
+
+    save_file(state_dict_from_jax_params(params), path)
+
+
 def load_params_from_safetensors(
     path: str, config: CSMConfig, dtype=jnp.float32
 ) -> dict:

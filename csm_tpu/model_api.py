@@ -1,0 +1,123 @@
+"""Class-style model API: a drop-in-familiar ``CSMModel`` over the
+functional core.
+
+The reference exposes ``CSMModel(PreTrainedModel)`` with ``forward`` /
+``generate_frame`` / ``generate`` / ``setup_caches`` / ``from_pretrained``
+(``modeling_csm.py:192-702``).  This wrapper provides the same surface on
+top of the functional pytree implementation so reference users can switch
+with minimal edits; the functional API (:mod:`csm_tpu.models.csm`,
+:mod:`csm_tpu.generation`) remains the primary interface for training and
+custom jit pipelines.
+
+Checkpoint format: a directory with ``config.json`` (reference-compatible
+CSM config) and ``model.safetensors`` in the reference's key layout — files
+written by ``save_pretrained`` load in the PyTorch reference and vice versa.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csm_tpu.config import CSMConfig
+from csm_tpu.models import csm
+from csm_tpu.models.csm import CSMOutput
+
+
+class CSMModel:
+    """Stateful convenience wrapper: holds ``(config, params)`` and jits the
+    forward/generation paths per input shape."""
+
+    def __init__(self, config: CSMConfig, params: Optional[dict] = None,
+                 dtype=jnp.float32, seed: int = 0):
+        self.config = config
+        self.dtype = dtype
+        if params is None:
+            params = csm.init_params(jax.random.key(seed), config, dtype)
+        self.params = params
+        self._using_kv_cache = False
+        self._fwd = jax.jit(
+            lambda p, ids, mask, labels, k: csm.forward(
+                p, config, ids, mask, labels=labels, max_decoder_frames=k
+            ),
+            static_argnames=("k",),
+        )
+
+    # -- reference API ------------------------------------------------------
+
+    def setup_caches(self, max_batch_size: int) -> None:
+        """Enable KV caching shim (``modeling_csm.py:284-287``); generation
+        here always builds its own static cache."""
+        self._using_kv_cache = True
+
+    def reset_caches(self) -> None:
+        """No-op shim (``modeling_csm.py:289-290``)."""
+
+    def forward(self, input_ids, attention_mask=None, labels=None,
+                max_decoder_frames: Optional[int] = None, **_ignored) -> CSMOutput:
+        ids = jnp.asarray(input_ids)
+        mask = (
+            jnp.asarray(attention_mask, jnp.float32)
+            if attention_mask is not None
+            else jnp.ones(ids.shape, jnp.float32)
+        )
+        lbl = jnp.asarray(labels) if labels is not None else None
+        k = max_decoder_frames
+        if lbl is not None and k is None:
+            k = int(ids.shape[0] * ids.shape[1])
+        if lbl is None:
+            return jax.jit(
+                lambda p, i, m: csm.forward(p, self.config, i, m)
+            )(self.params, ids, mask)
+        return self._fwd(self.params, ids, mask, lbl, k)
+
+    __call__ = forward
+
+    def generate_frame(self, input_ids, attention_mask, temperature: float = 1.0,
+                       topk: int = 50, rng: Optional[jax.Array] = None,
+                       greedy: bool = False, **_ignored) -> CSMOutput:
+        from csm_tpu import generation
+
+        return generation.generate_frame(
+            self.params, self.config,
+            jnp.asarray(input_ids), jnp.asarray(attention_mask, jnp.float32),
+            temperature=temperature, topk=topk, rng=rng, greedy=greedy,
+        )
+
+    def generate(self, input_ids, attention_mask, max_new_frames: int = 100,
+                 temperature: float = 1.0, topk: int = 50, use_cache: bool = True,
+                 stop_on_all_zeros: bool = True, rng: Optional[jax.Array] = None,
+                 greedy: bool = False, stop_mode: str = "batch") -> np.ndarray:
+        from csm_tpu import generation
+
+        return generation.generate(
+            self.params, self.config, input_ids, attention_mask,
+            max_new_frames=max_new_frames, temperature=temperature, topk=topk,
+            use_cache=use_cache, stop_on_all_zeros=stop_on_all_zeros,
+            rng=rng, greedy=greedy, stop_mode=stop_mode,
+        )
+
+    # -- persistence --------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, path: str, dtype=jnp.float32) -> "CSMModel":
+        """Load from a directory with ``config.json`` + safetensors in the
+        reference layout (works on checkpoints saved by the PyTorch
+        reference or by :meth:`save_pretrained`)."""
+        from csm_tpu.checkpoint import load_params_from_safetensors
+
+        cfg_path = os.path.join(path, "config.json")
+        config = CSMConfig.from_json(cfg_path) if os.path.exists(cfg_path) else CSMConfig()
+        params = load_params_from_safetensors(path, config, dtype=dtype)
+        return cls(config, params, dtype=dtype)
+
+    def save_pretrained(self, path: str) -> None:
+        from csm_tpu.checkpoint.hf_convert import save_params_to_safetensors
+
+        os.makedirs(path, exist_ok=True)
+        self.config.to_json(os.path.join(path, "config.json"))
+        save_params_to_safetensors(os.path.join(path, "model.safetensors"), self.params)
