@@ -1,9 +1,11 @@
 """Host-side audio I/O: WAV load/save, stereo→mono, resampling.
 
 The TPU-native replacement for the reference's ``torchaudio`` usage
-(``train.py:117-126``, ``README.md:65-70``): C++-backed libsox is swapped
-for the stdlib WAV container parser plus a scipy polyphase resampler — all
-host-side, outside the jit boundary (SURVEY §2b "torchaudio").
+(``train.py:117-126``, ``README.md:65-70``).  The fast path is the native
+C++ runtime (:mod:`csm_tpu.native` — WAV codec + Kaiser-sinc polyphase
+resampler, built on demand); these pure-Python implementations are the
+behavior spec and the fallback.  All host-side, outside the jit boundary
+(SURVEY §2b "torchaudio").
 """
 
 from __future__ import annotations
@@ -13,10 +15,14 @@ from typing import Tuple
 
 import numpy as np
 
+from csm_tpu import native as _native
+
 
 def load_wav(path: str) -> Tuple[np.ndarray, int]:
     """Read a WAV file → (float32 waveform ``[channels, samples]`` in
     [-1, 1], sample_rate).  Supports 8/16/24/32-bit PCM and 32-bit float."""
+    if _native.available():
+        return _native.wav_read(path)
     with _wave.open(path, "rb") as w:
         n_ch = w.getnchannels()
         width = w.getsampwidth()
@@ -46,6 +52,8 @@ def load_wav(path: str) -> Tuple[np.ndarray, int]:
 def save_wav(path: str, wave: np.ndarray, sample_rate: int) -> None:
     """Write float32 ``[samples]`` or ``[channels, samples]`` in [-1, 1] as
     16-bit PCM (the README recipe's int16 output, ``README.md:114-118``)."""
+    if _native.available():
+        return _native.wav_write(path, wave, sample_rate)
     wave = np.asarray(wave, np.float32)
     if wave.ndim == 1:
         wave = wave[None, :]
@@ -71,6 +79,8 @@ def resample(wave: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
     ``train.py:121-126``)."""
     if orig_rate == target_rate:
         return np.asarray(wave, np.float32)
+    if _native.available():
+        return _native.resample_poly(wave, orig_rate, target_rate)
     from math import gcd
 
     from scipy.signal import resample_poly
