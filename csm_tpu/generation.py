@@ -154,6 +154,7 @@ def generate_frame(
     topk: int = 50,
     greedy: bool = False,
     true_len: Optional[jnp.ndarray] = None,
+    flash_prefill: bool = False,
 ) -> csm.CSMOutput:
     """Generate one frame's 32 codebooks (reference
     ``generate_frame``, ``modeling_csm.py:484-589``).
@@ -165,6 +166,7 @@ def generate_frame(
     out = csm.forward(
         params, config, input_ids, attention_mask, cache=cache,
         last_index=None if true_len is None else true_len - 1,
+        flash_prefill=flash_prefill,
     )
     new_cache = out.cache
     if new_cache is not None and true_len is not None:
@@ -226,7 +228,10 @@ def generate_compiled(
     """
     B, S, W = input_ids.shape
     if cache_len is None:
+        # Rounded to a multiple of 64 so the flash prefill can block the
+        # cache window; the extra slots stay masked invalid.
         cache_len = min(config.max_seq_len, S + max_new_frames)
+        cache_len = ((cache_len + 63) // 64) * 64
     dtype = params["backbone"]["final_norm"].dtype
 
     cache = KVCache.create(config.backbone, B, cache_len, dtype=dtype)
@@ -234,7 +239,7 @@ def generate_compiled(
     out = generate_frame(
         params, config, input_ids, attention_mask,
         cache=cache, rng=k0, temperature=temperature, topk=topk, greedy=greedy,
-        true_len=true_len,
+        true_len=true_len, flash_prefill=True,
     )
 
     frames_buf = jnp.zeros((B, max_new_frames, config.audio_num_codebooks), jnp.int32)

@@ -188,6 +188,7 @@ def backbone_forward(
     *,
     cache: Optional[KVCache] = None,
     positions: Optional[jnp.ndarray] = None,
+    flash_prefill: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Embed-sum + backbone stack.  Returns full hidden ``[B, S, D]``.
 
@@ -195,7 +196,13 @@ def backbone_forward(
     ``any(mask) > 0`` (``modeling_csm.py:337-342``).  Positions default to
     sequential frame indices (HF ``cache_position`` semantics — left padding
     is numbered, then masked out of attention).
+
+    ``flash_prefill``: the cached call is a prefill starting at cache index
+    0 — eligible shapes then use the Pallas flash kernel instead of
+    materializing the ``[B, 1, 1, S, T]`` bias.
     """
+    from csm_tpu.ops.attention import flash_eligible
+
     B, S, _ = input_ids.shape
     h = embed_frames(params, config, input_ids, attention_mask)
     if attention_mask is not None:
@@ -204,14 +211,19 @@ def backbone_forward(
         frame_valid = jnp.ones((B, S), jnp.bool_)
 
     rope = compute_rope_table(config.backbone, config.max_seq_len)
+    hd = config.backbone.head_dim
 
     if cache is None:
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-        bias = llama.make_causal_bias(frame_valid, S)
+        if flash_eligible(S, S, hd):
+            bias, flash_valid = None, frame_valid
+        else:
+            bias, flash_valid = llama.make_causal_bias(frame_valid, S), None
         hidden, _ = llama.forward(
             params["backbone"], config.backbone, h,
             rope_table=rope, positions=positions, attn_bias=bias, cache=None,
+            flash_key_valid=flash_valid,
         )
         return hidden, None
 
@@ -223,11 +235,15 @@ def backbone_forward(
             start + jnp.arange(S, dtype=jnp.int32), (B, S)
         )
     key_valid = jax.lax.dynamic_update_slice(cache.valid, frame_valid, (0, start))
-    bias = llama.make_causal_bias(key_valid, S, q_offset=start)
     cache = cache.replace(valid=key_valid)
+    if flash_prefill and flash_eligible(S, cache.max_len, hd):
+        bias, flash_valid = None, key_valid
+    else:
+        bias, flash_valid = llama.make_causal_bias(key_valid, S, q_offset=start), None
     hidden, new_cache = llama.forward(
         params["backbone"], config.backbone, h,
         rope_table=rope, positions=positions, attn_bias=bias, cache=cache,
+        flash_key_valid=flash_valid,
     )
     return hidden, new_cache
 
@@ -255,6 +271,7 @@ def forward(
     max_decoder_frames: Optional[int] = None,
     return_all_logits: bool = False,
     last_index: Optional[jnp.ndarray] = None,
+    flash_prefill: bool = False,
 ) -> CSMOutput:
     """Full forward pass with optional training losses
     (``modeling_csm.py:292-482``).
@@ -271,7 +288,8 @@ def forward(
     N = config.audio_num_codebooks
 
     hidden, new_cache = backbone_forward(
-        params, config, input_ids, attention_mask, cache=cache, positions=positions
+        params, config, input_ids, attention_mask, cache=cache,
+        positions=positions, flash_prefill=flash_prefill,
     )
 
     head = params["codebook0_head"]

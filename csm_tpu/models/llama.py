@@ -139,7 +139,13 @@ def _attention(
     v: jnp.ndarray,  # [B, T, nkv, hd]
     bias: jnp.ndarray,  # [B, 1, 1, S, T] additive (0 or NEG_INF)
 ) -> jnp.ndarray:
-    """Grouped-query attention, fp32 softmax.  Returns ``[B, S, nq*hd]``."""
+    """Grouped-query attention, fp32 softmax.  Returns ``[B, S, nq*hd]``.
+
+    Masking sets disallowed scores to the finite ``NEG_INF`` (rather than
+    adding it), so a fully-masked row softmaxes to exactly-uniform attention
+    — bit-consistent with the Pallas flash kernel and with HF's min-dtype
+    behavior.
+    """
     B, S, nq, hd = q.shape
     T = k.shape[1]
     nkv = k.shape[2]
@@ -150,7 +156,7 @@ def _attention(
     scores = jnp.einsum(
         "bngsh,bnth->bngst", qg, kk, preferred_element_type=jnp.float32
     ) * (1.0 / jnp.sqrt(hd).astype(jnp.float32))
-    scores = scores + bias.astype(jnp.float32)
+    scores = jnp.where(bias < 0, NEG_INF, scores)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bngst,bnth->bngsh", probs, vv)  # [B,nkv,g,S,hd]
     return out.transpose(0, 3, 1, 2, 4).reshape(B, S, nq * hd)
@@ -161,14 +167,20 @@ def _layer(
     lp: dict,
     cos: jnp.ndarray,
     sin: jnp.ndarray,
-    bias: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
     config: LlamaConfig,
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     cache_index: Optional[jnp.ndarray] = None,
+    flash_key_valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One pre-norm transformer block.  If ``cache_kv`` is given, the new K/V
     rows are written at ``cache_index`` and attention runs over the full
-    cached window; returns the updated per-layer cache."""
+    cached window; returns the updated per-layer cache.
+
+    ``flash_key_valid`` selects the Pallas flash kernel (queries assumed to
+    start at absolute position 0 — prefill/training) instead of the
+    bias-masked XLA path.
+    """
     B, S, D = h.shape
     nq, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
 
@@ -179,14 +191,27 @@ def _layer(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    def attend(kk, vv):
+        if flash_key_valid is not None:
+            from csm_tpu.ops.flash_attention import flash_attention
+            from csm_tpu.ops.attention import pick_block
+
+            out = flash_attention(
+                q, kk.astype(q.dtype), vv.astype(q.dtype), flash_key_valid,
+                causal=True,
+                block_q=pick_block(S), block_k=pick_block(kk.shape[1]),
+            )
+            return out.reshape(B, S, nq * hd)
+        return _attention(q, kk.astype(q.dtype), vv.astype(q.dtype), bias)
+
     if cache_kv is not None:
         ck, cv = cache_kv  # [B, max_len, nkv, hd]
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
-        attn = _attention(q, ck.astype(q.dtype), cv.astype(q.dtype), bias)
+        attn = attend(ck, cv)
         new_cache = (ck, cv)
     else:
-        attn = _attention(q, k, v, bias)
+        attn = attend(k, v)
         new_cache = (k, v)
 
     h = h + attn @ lp["wo"]
@@ -226,8 +251,9 @@ def forward(
     *,
     rope_table: Tuple[jnp.ndarray, jnp.ndarray],
     positions: jnp.ndarray,  # [B, S] int32 position ids
-    attn_bias: jnp.ndarray,  # [B, 1, 1, S, T] additive bias
+    attn_bias: Optional[jnp.ndarray],  # [B, 1, 1, S, T] additive bias
     cache: Optional[KVCache] = None,
+    flash_key_valid: Optional[jnp.ndarray] = None,  # [B, T] — flash path
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the full stack via ``lax.scan`` over layers.
 
@@ -235,6 +261,10 @@ def forward(
     cache, K/V for the fed chunk are written at ``cache.index`` and attention
     spans the cache window (T == cache.max_len); the returned cache has its
     index advanced by ``S``.
+
+    With ``flash_key_valid`` the layers use the Pallas flash kernel (valid
+    only when queries start at absolute position 0, i.e. prefill/training);
+    ``attn_bias`` may then be None.
     """
     cos_t, sin_t = rope_table
     cos = jnp.take(cos_t, positions, axis=0)  # [B, S, hd]
@@ -244,7 +274,8 @@ def forward(
 
     if cache is None:
         def body(h, lp):
-            h, _ = _layer(h, lp, cos, sin, attn_bias, config)
+            h, _ = _layer(h, lp, cos, sin, attn_bias, config,
+                          flash_key_valid=flash_key_valid)
             return h, None
 
         h, _ = jax.lax.scan(body, inputs_embeds, layer_params)
@@ -255,6 +286,7 @@ def forward(
             h, (nk, nv) = _layer(
                 h, lp, cos, sin, attn_bias, config,
                 cache_kv=(ck, cv), cache_index=cache.index,
+                flash_key_valid=flash_key_valid,
             )
             return h, (nk, nv)
 

@@ -1,0 +1,45 @@
+"""Attention implementation dispatch.
+
+``auto`` (default): the Pallas flash kernel for multi-token forward passes
+on TPU backends; the XLA einsum path for decode steps (q_len == 1), CPU
+tests, and shapes the kernel's blocking cannot cover.  Override with
+``CSM_TPU_ATTENTION=flash|xla`` or :func:`set_attention_impl`.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_impl = os.environ.get("CSM_TPU_ATTENTION", "auto")
+
+
+def set_attention_impl(impl: str) -> None:
+    """Force the attention path: ``"auto"``, ``"flash"``, or ``"xla"``."""
+    global _impl
+    if impl not in ("auto", "flash", "xla"):
+        raise ValueError(impl)
+    _impl = impl
+
+
+def pick_block(n: int, cap: int = 256) -> int:
+    """Largest power-of-two divisor of ``n``, capped."""
+    b = 1
+    while b < cap and n % (b * 2) == 0:
+        b *= 2
+    return b
+
+
+def flash_eligible(q_len: int, kv_len: int, head_dim: int) -> bool:
+    """Whether the flash kernel should handle this (trace-time) shape."""
+    if _impl == "xla":
+        return False
+    if q_len < 8 or pick_block(q_len) < 8 or pick_block(kv_len) < 8:
+        return False
+    if head_dim % 8 != 0:
+        return False
+    if _impl == "flash":
+        return True
+    # auto: only on a real accelerator backend
+    return jax.default_backend() not in ("cpu",)

@@ -1,0 +1,124 @@
+"""Pallas flash-attention kernel vs the XLA reference attention
+(SURVEY §4.3: unit tests per kernel).  Runs in interpreter mode on CPU."""
+
+import numpy as np
+import pytest
+
+from csm_tpu.config import LlamaConfig
+
+
+def _naive(q, k, v, key_valid, causal=True):
+    import jax.numpy as jnp
+
+    from csm_tpu.models import llama
+
+    B, S = q.shape[0], q.shape[1]
+    T = k.shape[1]
+    bias = llama.make_causal_bias(jnp.asarray(key_valid, bool), S) if causal else None
+    out = llama._attention(q, k, v, bias)
+    return out.reshape(B, S, q.shape[2], q.shape[3])
+
+
+@pytest.mark.parametrize("B,S,T,nq,nkv,hd,bq,bk", [
+    (2, 16, 16, 4, 2, 16, 8, 8),      # GQA, square
+    (1, 32, 32, 2, 2, 32, 16, 16),    # MHA
+    (1, 16, 64, 4, 1, 16, 16, 16),    # prefill into a larger cache window
+])
+def test_flash_matches_naive(B, S, T, nq, nkv, hd, bq, bk):
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, nkv, hd)), jnp.float32)
+    # key validity: first rows valid up to a ragged boundary; for T > S the
+    # tail (unwritten cache slots) is invalid
+    key_valid = np.zeros((B, T), np.int32)
+    for b in range(B):
+        key_valid[b, : S - b] = 1
+    kv = jnp.asarray(key_valid)
+
+    got = flash_attention(q, k, v, kv, causal=True, block_q=bq, block_k=bk,
+                          interpret=True)
+    # naive path needs [B, 1, 1, S, T] bias built from the same validity
+    import jax.numpy as jnp
+
+    from csm_tpu.models import llama
+
+    bias = llama.make_causal_bias(kv.astype(bool), S)
+    ref = llama._attention(q, k, v, bias).reshape(B, S, nq, hd)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_flash_fully_masked_rows_uniform():
+    """Left-padding rows (no valid keys) must softmax to uniform attention —
+    matching the XLA path's finite-NEG_INF semantics."""
+    import jax.numpy as jnp
+
+    from csm_tpu.models import llama
+    from csm_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(1)
+    B, S, nq, nkv, hd = 1, 16, 2, 1, 16
+    q = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    key_valid = jnp.zeros((B, S), jnp.int32)  # nothing valid
+
+    got = flash_attention(q, k, v, key_valid, block_q=8, block_k=8, interpret=True)
+    bias = llama.make_causal_bias(key_valid.astype(bool), S)
+    ref = llama._attention(q, k, v, bias).reshape(B, S, nq, hd)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    # uniform attention = mean of values
+    np.testing.assert_allclose(
+        np.asarray(got[0, 0, 0]), np.asarray(v[0, :, 0].mean(axis=0)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_end_to_end_forward_flash_vs_xla():
+    """Full backbone forward: flash path output equals the XLA path."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.config import CSMConfig
+    from csm_tpu.models import csm
+    from csm_tpu.ops import attention
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(2)
+    B, S = 1, 16
+    ids = np.zeros((B, S, 33), np.int64)
+    ids[..., 32] = rng.integers(1, cfg.text_vocab_size, (B, S))
+    mask = np.zeros((B, S, 33), np.float32)
+    mask[..., 32] = 1
+
+    ref = csm.forward(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+
+    # Force the flash path (interpret via monkeypatched flash call is heavy;
+    # instead run the kernel in interpret mode through the dispatcher).
+    from csm_tpu.ops import flash_attention as fa
+
+    orig = fa.flash_attention
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    fa_mod_attr = fa.flash_attention
+    fa.flash_attention = interp
+    attention.set_attention_impl("flash")
+    try:
+        got = csm.forward(params, cfg, jnp.asarray(ids), jnp.asarray(mask))
+    finally:
+        attention.set_attention_impl("auto")
+        fa.flash_attention = fa_mod_attr
+
+    np.testing.assert_allclose(
+        np.asarray(got.logits), np.asarray(ref.logits), rtol=1e-4, atol=1e-5
+    )
