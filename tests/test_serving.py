@@ -1,0 +1,104 @@
+"""Serving streamer: frame parity with the compiled path + streaming audio."""
+
+import numpy as np
+import pytest
+
+from csm_tpu.config import CSMConfig
+
+from tests.oracle import random_csm_batch
+
+
+@pytest.fixture(scope="module")
+def model():
+    import jax
+
+    from csm_tpu.models import csm
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(3), cfg)
+    return cfg, params
+
+
+def test_streamer_matches_compiled_path(model):
+    import jax
+
+    from csm_tpu import generation
+    from csm_tpu.serving import CSMStreamer
+
+    cfg, params = model
+    data = random_csm_batch(cfg, 2, 9, seed=31)
+
+    ref = generation.generate(
+        params, cfg, data["input_ids"], data["attention_mask"],
+        max_new_frames=5, temperature=0.9, topk=5,
+        rng=jax.random.key(11), stop_on_all_zeros=False, stop_mode="stream",
+    )
+
+    streamer = CSMStreamer(params, cfg, temperature=0.9, topk=5,
+                           stop_on_all_zeros=False)
+    frames = []
+    for out in streamer.run(
+        data["input_ids"], data["attention_mask"], max_new_frames=5,
+        rng=jax.random.key(11),
+    ):
+        assert out["audio"] is None  # no codec attached
+        frames.append(out["frame"])
+    got = np.stack(frames, axis=1)
+
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_streamer_emits_audio_chunks(model):
+    """With a codec attached, every frame yields a PCM chunk whose
+    concatenation equals the batch decode of the emitted codes."""
+    import torch
+    from transformers import MimiConfig, MimiModel
+
+    from csm_tpu.codec import MimiCodec, MimiCodecConfig, mimi_params_from_state_dict
+    from csm_tpu.serving import CSMStreamer
+
+    cfg, params = model
+
+    ccfg = MimiCodecConfig.tiny(num_quantizers=32)
+    hf_cfg = MimiConfig(
+        num_quantizers=32, codebook_size=ccfg.codebook_size,
+        codebook_dim=ccfg.codebook_dim, hidden_size=ccfg.hidden_size,
+        num_filters=ccfg.num_filters,
+        vector_quantization_hidden_dimension=ccfg.vector_quantization_hidden_dimension,
+        upsample_groups=ccfg.upsample_groups, num_hidden_layers=ccfg.num_hidden_layers,
+        intermediate_size=ccfg.intermediate_size,
+        num_attention_heads=ccfg.num_attention_heads,
+        num_key_value_heads=ccfg.num_key_value_heads, head_dim=ccfg.head_dim,
+        sliding_window=ccfg.sliding_window,
+        num_semantic_quantizers=ccfg.num_semantic_quantizers,
+        num_residual_layers=ccfg.num_residual_layers, attn_implementation="eager",
+    )
+    torch.manual_seed(5)
+    m = MimiModel(hf_cfg).float().eval()
+    sd = m.state_dict()
+    gen = torch.Generator().manual_seed(6)
+    for k in list(sd.keys()):
+        if k.endswith("embed_sum"):
+            sd[k] = torch.randn(sd[k].shape, generator=gen)
+    m.load_state_dict(sd)
+    codec = MimiCodec(ccfg, mimi_params_from_state_dict(m.state_dict(), ccfg))
+
+    import jax
+
+    data = random_csm_batch(cfg, 1, 8, seed=32)
+    streamer = CSMStreamer(params, cfg, codec=codec, greedy=True,
+                           stop_on_all_zeros=False)
+    frames, chunks = [], []
+    for out in streamer.run(
+        data["input_ids"], data["attention_mask"], max_new_frames=4,
+        rng=jax.random.key(0),
+    ):
+        frames.append(out["frame"])
+        chunks.append(out["audio"])
+        hop = int(2 * ccfg.total_stride)
+        assert out["audio"].shape == (1, hop)
+
+    codes = np.stack(frames, axis=2)[0]  # [32, F]
+    full = codec.decode(codes)
+    streamed = np.concatenate([c[0] for c in chunks])
+    np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=1e-5)
