@@ -501,10 +501,17 @@ def load_mimi(path: Optional[str] = None, num_codebooks: int = 32,
     if path is None:
         path = os.environ.get("CSM_TPU_MIMI_PATH")
     if path is None:
-        raise FileNotFoundError(
-            "Mimi weights not found: pass `path` or set CSM_TPU_MIMI_PATH to a "
-            "safetensors file converted from the kyutai/mimi checkpoint."
-        )
+        # Default to the published checkpoint (requires network access).
+        try:
+            from huggingface_hub import hf_hub_download
+
+            path = hf_hub_download("kyutai/mimi", "model.safetensors")
+        except Exception as e:  # noqa: BLE001
+            raise FileNotFoundError(
+                "Mimi weights not found: pass `path`, set CSM_TPU_MIMI_PATH to "
+                "a safetensors file with the HF MimiModel layout, or enable "
+                f"network access to fetch kyutai/mimi ({e})."
+            ) from e
     if os.path.isdir(path):
         path = os.path.join(path, "model.safetensors")
     from safetensors.numpy import load_file

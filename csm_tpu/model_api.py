@@ -107,9 +107,15 @@ class CSMModel:
     def from_pretrained(cls, path: str, dtype=jnp.float32) -> "CSMModel":
         """Load from a directory with ``config.json`` + safetensors in the
         reference layout (works on checkpoints saved by the PyTorch
-        reference or by :meth:`save_pretrained`)."""
+        reference or by :meth:`save_pretrained`).  A non-local path is
+        treated as an HF hub id (e.g. ``thomasgauthier/csm-1b-hf``,
+        ``train.py:241-243``) and fetched via ``huggingface_hub``."""
         from csm_tpu.checkpoint import load_params_from_safetensors
 
+        if not os.path.exists(path):
+            from huggingface_hub import snapshot_download
+
+            path = snapshot_download(path, allow_patterns=["*.safetensors", "*.json"])
         cfg_path = os.path.join(path, "config.json")
         config = CSMConfig.from_json(cfg_path) if os.path.exists(cfg_path) else CSMConfig()
         params = load_params_from_safetensors(path, config, dtype=dtype)

@@ -246,6 +246,30 @@ class CSMTrainer:
                 }
                 buf = []
 
+    def _maybe_resume(self) -> int:
+        """Restore the latest checkpoint if requested; returns the step to
+        resume from (0 = fresh run)."""
+        if not getattr(self.args, "resume_from_checkpoint", False):
+            return 0
+        from csm_tpu.checkpoint import latest_step, load_checkpoint
+
+        ckpt_dir = f"{self.args.output_dir}/checkpoints"
+        step = latest_step(ckpt_dir)
+        if step is None:
+            logger.info("resume requested but no checkpoint found; starting fresh")
+            return 0
+        restored = load_checkpoint(
+            ckpt_dir, step,
+            template={"params": self.state.params,
+                      "opt_state": self.state.opt_state, "step": 0},
+        )
+        self.state = TrainState(
+            params=restored["params"], opt_state=restored["opt_state"],
+            step=jnp.int32(step),
+        )
+        logger.info("resumed from checkpoint at step %d", step)
+        return step
+
     def train(self) -> Dict[str, float]:
         args = self.args
         sharding = batch_sharding(self.mesh)
@@ -256,10 +280,13 @@ class CSMTrainer:
             self.total_steps, self.global_batch,
             args.gradient_accumulation_steps, dict(self.mesh.shape),
         )
+        start_step = self._maybe_resume()
         last = {}
         t0 = time.time()
         with self.mesh:
             for step, batch in enumerate(self._batches(), start=1):
+                if step <= start_step:
+                    continue  # fast-forward the data stream on resume
                 batch = {
                     k: jax.device_put(jnp.asarray(v), mb_sharding)
                     for k, v in batch.items()

@@ -126,3 +126,35 @@ def test_checkpoint_save_and_resume(trainer_setup, tmp_path):
     got = np.asarray(restored["params"]["projection"])
     want = np.asarray(trainer.state.params["projection"])
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_resume_from_checkpoint(trainer_setup, tmp_path):
+    """resume_from_checkpoint restores state and fast-forwards the stream."""
+    import jax
+
+    from csm_tpu.models import csm
+
+    cfg, params, TA, CT, mm = trainer_setup
+    trainer = _make_trainer(cfg, params, TA, CT, mm, tmp_path, data=2, model=1,
+                            epochs=2)
+    trainer.train()
+    trainer.save_checkpoint(2)
+    trained_proj = np.asarray(trainer.state.params["projection"])
+
+    args2 = TA(
+        output_dir=str(tmp_path), learning_rate=5e-3,
+        per_device_train_batch_size=1, gradient_accumulation_steps=2,
+        max_seq_length=16, save_strategy="no", mesh_data=2, mesh_model=1,
+        resume_from_checkpoint=True,
+    )
+    from csm_tpu.data.collator import CSMDataCollator
+
+    ds = SyntheticDataset(cfg, n=4, seq=12, epochs=2)
+    coll = CSMDataCollator(text_pad_token_id=0, pad_to_length=16)
+    fresh = csm.init_params(jax.random.key(0), cfg)
+    trainer2 = CT(cfg, fresh, args2, ds, data_collator=coll, mesh=mm(data=2, model=1))
+    resumed = trainer2._maybe_resume()
+    assert resumed == 2
+    np.testing.assert_allclose(
+        np.asarray(trainer2.state.params["projection"]), trained_proj, rtol=1e-6
+    )
