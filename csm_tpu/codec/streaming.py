@@ -267,6 +267,161 @@ def decode_step(cfg: MimiCodecConfig, params: dict, state: dict,
     return x, new_state
 
 
+# ---------------------------------------------------------------------------
+# Encoder streaming state
+# ---------------------------------------------------------------------------
+
+
+def _encoder_conv_specs(cfg: MimiCodecConfig):
+    """Ordered ConvSpecs of every conv in the encoder stack + downsample
+    (the layers that need padding caches), with their pad modes."""
+    from csm_tpu.codec.mimi import downsample_spec, encoder_plan
+
+    specs = []
+    for item in encoder_plan(cfg):
+        if item[0] == "conv":
+            specs.append(item[1])
+        elif item[0] == "resnet":
+            specs.extend(item[1])
+    specs.append(downsample_spec(cfg))
+    return specs
+
+
+def encode_state_init(cfg: MimiCodecConfig, batch: int, dtype=jnp.float32,
+                      max_chunk_frames: int = 8) -> dict:
+    """Zero/replicate-initialized streaming-encode state.
+
+    Chunks must be multiples of the 80 ms frame size (``frame_size``
+    samples) so every strided conv's phase stays aligned — the same
+    constraint the original streaming codec imposes.
+    """
+    W = (cfg.sliding_window or 256) + 2 * max_chunk_frames - 1
+    L = cfg.num_hidden_layers
+    nh, hd = cfg.num_attention_heads, cfg.head_dim
+    return {
+        "conv_caches": [
+            jnp.zeros((batch, s.in_ch, s.padding_total), dtype)
+            for s in _encoder_conv_specs(cfg)
+        ],
+        # "replicate"-padded layers (the downsample) seed their cache from
+        # the first chunk's first sample instead of zeros.
+        "started": jnp.zeros((), jnp.bool_),
+        "kv": {
+            "k": jnp.zeros((L, batch, W, nh, hd), dtype),
+            "v": jnp.zeros((L, batch, W, nh, hd), dtype),
+            "pos": jnp.int32(0),
+        },
+    }
+
+
+def _stream_conv_strided(x, w, b, spec: ConvSpec, cache):
+    """Causal conv with carried left context, any stride.  The chunk length
+    must be a multiple of the stride (guaranteed by frame-aligned chunks)."""
+    xc = jnp.concatenate([cache, x], axis=-1)
+    out = jax.lax.conv_general_dilated(
+        xc, w, window_strides=(spec.stride,), padding="VALID",
+        rhs_dilation=(spec.dilation,), dimension_numbers=_DN,
+        feature_group_count=spec.groups,
+    )
+    if b is not None:
+        out = out + b[None, :, None]
+    pad = spec.padding_total
+    new_cache = xc[..., xc.shape[-1] - pad :] if pad > 0 else cache
+    return out, new_cache
+
+
+def encode_step(cfg: MimiCodecConfig, params: dict, state: dict,
+                wave: jnp.ndarray, num_quantizers: Optional[int] = None
+                ) -> Tuple[jnp.ndarray, dict]:
+    """Encode a ``[B, 1, t·frame_size]`` audio chunk incrementally →
+    ``(codes [B, Q, t], new_state)``."""
+    from csm_tpu.codec.mimi import _rvq_encode, encoder_plan
+
+    if wave.shape[-1] % cfg.frame_size != 0:
+        raise ValueError(
+            f"streaming encode chunks must be multiples of frame_size="
+            f"{cfg.frame_size}, got {wave.shape[-1]}"
+        )
+    nq = num_quantizers if num_quantizers is not None else cfg.num_quantizers
+    specs = _encoder_conv_specs(cfg)
+    convs = list(state["conv_caches"])
+    started = state["started"]
+
+    x = wave.astype(jnp.float32)
+    ci = 0
+    for item, p in zip(encoder_plan(cfg), params["encoder"]):
+        kind = item[0]
+        if kind == "elu":
+            x = jax.nn.elu(x)
+        elif kind == "conv":
+            x, convs[ci] = _stream_conv_strided(x, p["w"], p.get("b"), item[1], convs[ci])
+            ci += 1
+        else:  # resnet
+            res = x
+            for spec, cp in zip(item[1], p["block"]):
+                x = jax.nn.elu(x)
+                x, convs[ci] = _stream_conv_strided(x, cp["w"], cp.get("b"), spec, convs[ci])
+                ci += 1
+            x = res + x
+
+    h, kv = _stream_transformer(cfg, params["encoder_transformer"], x.swapaxes(1, 2),
+                                state["kv"])
+    x = h.swapaxes(1, 2)
+
+    # Downsample: "replicate" pad mode — on the first chunk its cache holds
+    # copies of the chunk's first hidden sample (HF MimiConv1dPaddingCache
+    # semantics for replicate layers).
+    ds_spec = specs[-1]
+    ds_cache = convs[ci]
+    seeded = jnp.where(
+        started, ds_cache, jnp.broadcast_to(x[..., :1], ds_cache.shape)
+    )
+    x, new_ds_cache = _stream_conv_strided(x, params["downsample"]["w"], None,
+                                           ds_spec, seeded)
+    convs[ci] = new_ds_cache
+
+    emb = x.swapaxes(1, 2)
+    q = params["quantizer"]
+    sem = _rvq_encode(q["semantic"]["codebooks"], emb @ q["semantic"]["input_proj"])
+    if nq > cfg.num_semantic_quantizers:
+        ac = _rvq_encode(
+            q["acoustic"]["codebooks"][: nq - cfg.num_semantic_quantizers],
+            emb @ q["acoustic"]["input_proj"],
+        )
+        codes = jnp.concatenate([sem, ac], axis=1)
+    else:
+        codes = sem
+
+    new_state = {"conv_caches": convs, "started": jnp.bool_(True), "kv": kv}
+    return codes, new_state
+
+
+class StreamingMimiEncoder:
+    """Stateful wrapper: feed frame-aligned audio, get codes per frame.
+
+    >>> enc = StreamingMimiEncoder(codec)
+    >>> codes = enc.feed(wave_chunk)   # [B, 1, n*1920] -> [B, 32, n]
+    """
+
+    def __init__(self, codec, batch: int = 1):
+        self.codec = codec
+        self.state = encode_state_init(codec.config, batch)
+        self._step = jax.jit(
+            lambda p, s, c: encode_step(
+                codec.config, p, s, c, codec.num_codebooks
+            )
+        )
+
+    def feed(self, wave) -> np.ndarray:
+        codes, self.state = self._step(self.codec.params, self.state,
+                                       jnp.asarray(wave))
+        return np.asarray(codes)
+
+    def reset(self, batch: Optional[int] = None) -> None:
+        b = batch or self.state["kv"]["k"].shape[1]
+        self.state = encode_state_init(self.codec.config, b)
+
+
 class StreamingMimiDecoder:
     """Stateful convenience wrapper: feed frames, get audio chunks.
 

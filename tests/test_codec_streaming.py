@@ -62,3 +62,41 @@ def test_streaming_batch(mimi_pair):
     for b in range(3):
         solo = codec.decode(codes[b])
         np.testing.assert_allclose(np.asarray(out[b, 0]), solo, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("chunks", [[1, 1, 1, 1], [2, 2], [1, 3], [4]])
+def test_streaming_encode_matches_full(mimi_pair, chunks):
+    """Chunked encode (frame-aligned chunks) is token-exact vs full encode."""
+    from csm_tpu.codec.streaming import StreamingMimiEncoder
+
+    cfg, _, params = mimi_pair
+    codec = MimiCodec(cfg, params)
+    total_frames = sum(chunks)
+    fs = cfg.frame_size
+    rng = np.random.default_rng(41)
+    t = np.arange(total_frames * fs) / cfg.sampling_rate
+    wave = (0.4 * np.sin(2 * np.pi * 330 * t)
+            + 0.1 * rng.standard_normal(total_frames * fs)).astype(np.float32)
+
+    full = codec.encode(wave)  # [Q, total_frames]
+
+    enc = StreamingMimiEncoder(codec)
+    outs = []
+    pos = 0
+    for c in chunks:
+        outs.append(enc.feed(wave[None, None, pos : pos + c * fs])[0])
+        pos += c * fs
+    streamed = np.concatenate(outs, axis=1)
+
+    assert streamed.shape == full.shape
+    np.testing.assert_array_equal(streamed, full)
+
+
+def test_streaming_encode_chunk_alignment_error(mimi_pair):
+    from csm_tpu.codec.streaming import StreamingMimiEncoder
+
+    cfg, _, params = mimi_pair
+    codec = MimiCodec(cfg, params)
+    enc = StreamingMimiEncoder(codec)
+    with pytest.raises(ValueError, match="frame_size"):
+        enc.feed(np.zeros((1, 1, cfg.frame_size + 3), np.float32))
