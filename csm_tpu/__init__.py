@@ -31,4 +31,13 @@ from csm_tpu.config import CSMConfig, LlamaConfig
 
 __version__ = "0.1.0"
 
-__all__ = ["CSMConfig", "LlamaConfig", "__version__"]
+__all__ = ["CSMConfig", "LlamaConfig", "CSMModel", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy: importing the class API pulls in jax-heavy modules.
+    if name == "CSMModel":
+        from csm_tpu.model_api import CSMModel
+
+        return CSMModel
+    raise AttributeError(name)

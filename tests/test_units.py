@@ -1,0 +1,151 @@
+"""Focused unit tests: llama3 RoPE scaling vs HF, config JSON round-trip,
+top-k sampler semantics."""
+
+import numpy as np
+import pytest
+
+from csm_tpu.config import CSMConfig, LlamaConfig, RopeScalingConfig
+
+
+def test_llama3_rope_scaling_matches_hf():
+    """inv_freq with llama3 scaling matches HF's _compute_llama3_parameters
+    for the real backbone shape (64-dim heads, theta 5e5, factor 32)."""
+    import torch
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    from csm_tpu.ops.rope import compute_inv_freq
+
+    cfg = LlamaConfig()  # backbone shape
+    hf = HFLlamaConfig(
+        hidden_size=cfg.hidden_size,
+        num_attention_heads=cfg.num_attention_heads,
+        rope_theta=cfg.rope_theta,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 32.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 8192,
+        },
+    )
+    inv_hf, scale = ROPE_INIT_FUNCTIONS["llama3"](hf, "cpu")
+    assert scale == 1.0
+    np.testing.assert_allclose(
+        compute_inv_freq(cfg), inv_hf.numpy(), rtol=1e-6, atol=1e-12
+    )
+
+
+def test_rope_scaling_band_structure():
+    """High-freq components untouched, low-freq divided by factor."""
+    from csm_tpu.ops.rope import compute_inv_freq
+
+    cfg = LlamaConfig()
+    scaled = compute_inv_freq(cfg)
+    unscaled = compute_inv_freq(
+        LlamaConfig(rope_scaling=None)
+    )
+    wavelen = 2 * np.pi / unscaled
+    high = wavelen < 8192 / 4.0
+    low = wavelen > 8192 / 1.0
+    np.testing.assert_allclose(scaled[high], unscaled[high], rtol=1e-7)
+    np.testing.assert_allclose(scaled[low], unscaled[low] / 32.0, rtol=1e-6)
+
+
+def test_config_json_roundtrip(tmp_path):
+    cfg = CSMConfig.tiny()
+    path = str(tmp_path / "config.json")
+    cfg.to_json(path)
+    loaded = CSMConfig.from_json(path)
+    assert loaded == cfg
+    # string form too
+    assert CSMConfig.from_json(cfg.to_json()) == cfg
+
+
+def test_config_forced_overrides():
+    """Reference constructor overrides (``modeling_csm.py:128-141``)."""
+    cfg = CSMConfig(
+        max_seq_len=123,
+        text_vocab_size=77,
+        backbone=LlamaConfig(max_position_embeddings=999, vocab_size=5),
+        decoder=LlamaConfig(max_position_embeddings=999, vocab_size=5),
+    )
+    assert cfg.backbone.max_position_embeddings == 123
+    assert cfg.decoder.max_position_embeddings == cfg.audio_num_codebooks
+    assert cfg.backbone.vocab_size == 77 and cfg.decoder.vocab_size == 77
+    assert cfg.decoder_rope_positions == 33
+
+
+def test_config_from_reference_dict():
+    """Accepts the reference's serialized config layout (backbone_config /
+    decoder_config keys with HF LlamaConfig fields)."""
+    d = {
+        "model_type": "csm",
+        "text_vocab_size": 128256,
+        "audio_vocab_size": 2051,
+        "audio_num_codebooks": 32,
+        "max_seq_len": 2048,
+        "backbone_config": {
+            "hidden_size": 2048, "intermediate_size": 8192,
+            "num_hidden_layers": 16, "num_attention_heads": 32,
+            "num_key_value_heads": 8, "rms_norm_eps": 1e-5,
+            "rope_theta": 500000.0,
+            "rope_scaling": {"type": "llama3", "factor": 32.0,
+                             "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                             "original_max_position_embeddings": 8192},
+        },
+        "decoder_config": {
+            "hidden_size": 1024, "intermediate_size": 8192,
+            "num_hidden_layers": 4, "num_attention_heads": 8,
+            "num_key_value_heads": 2, "rope_theta": 500000.0,
+            "rope_scaling": {"type": "llama3", "factor": 32.0,
+                             "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                             "original_max_position_embeddings": 8192},
+        },
+    }
+    cfg = CSMConfig.from_dict(d)
+    assert cfg.backbone.num_hidden_layers == 16
+    assert cfg.decoder.num_key_value_heads == 2
+    assert cfg.backbone.rope_scaling.rope_type == "llama3"
+    assert cfg == CSMConfig()  # the reference defaults ARE CSM-1B
+
+
+def test_sample_topk_restricts_support():
+    """Samples only ever come from the top-k set; ties at the k-th value are
+    kept (reference filter semantics, ``modeling_csm.py:183-185``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.ops.sampling import sample_topk, topk_mask
+
+    logits = jnp.asarray(np.random.default_rng(0).standard_normal((4, 50)), jnp.float32)
+    top5 = np.argsort(np.asarray(logits), axis=-1)[:, -5:]
+    for i in range(20):
+        s = np.asarray(sample_topk(jax.random.key(i), logits, 5, 0.7))
+        for b in range(4):
+            assert s[b] in top5[b]
+
+    # tie handling: duplicate k-th value stays unmasked
+    row = jnp.asarray([[1.0, 3.0, 3.0, 0.0]])
+    masked = np.asarray(topk_mask(row, 2))
+    assert (masked[0, 1:3] == 3.0).all() and masked[0, 0] < -1e8
+
+
+def test_sample_topk_distribution():
+    """Empirical frequencies match the top-k softmax distribution."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.ops.sampling import sample_topk
+
+    logits = jnp.asarray([[2.0, 1.0, 0.0, -50.0]], jnp.float32)
+    draws = np.asarray(
+        jax.vmap(lambda k: sample_topk(k, logits, 3, 1.0))(
+            jax.random.split(jax.random.key(0), 4000)
+        )
+    ).ravel()
+    probs = np.exp([2.0, 1.0, 0.0])
+    probs = probs / probs.sum()
+    freq = np.bincount(draws, minlength=4) / len(draws)
+    assert freq[3] == 0.0
+    np.testing.assert_allclose(freq[:3], probs, atol=0.03)
