@@ -28,8 +28,11 @@ def topk_mask(logits: jnp.ndarray, topk: int) -> jnp.ndarray:
     """Mask all but the top-k entries of the last axis to a large negative.
 
     Ties at the k-th value are *kept* (same as the reference's
-    ``logits < kth_val`` filter at ``modeling_csm.py:183-185``).
+    ``logits < kth_val`` filter at ``modeling_csm.py:183-185``).  ``topk``
+    is clamped to the vocab size (the reference's ``torch.topk`` would
+    raise instead).
     """
+    topk = min(topk, logits.shape[-1])
     kth = jax.lax.top_k(logits, topk)[0][..., -1:]
     return jnp.where(logits < kth, NEG_INF, logits)
 
