@@ -152,3 +152,32 @@ def test_sampled_mode_runs_and_is_seeded(tiny_pair):
     assert (np.asarray(a) != np.asarray(c)).any()
     # Samples must be in-vocab.
     assert (a >= 0).all() and (a < cfg.audio_vocab_size).all()
+
+
+def test_stop_on_all_zeros_batch_mode(tiny_pair):
+    """A model whose c0/audio heads are zero emits all-zero frames greedily;
+    batch mode returns [B, 0, 32] without appending (``modeling_csm.py:662``)."""
+    import jax
+
+    from csm_tpu import generation
+    from csm_tpu.models import csm as csm_mod
+
+    cfg, _, params = tiny_pair
+    zeroed = dict(params)
+    zeroed["codebook0_head"] = params["codebook0_head"] * 0
+    zeroed["audio_head"] = params["audio_head"] * 0
+
+    data = random_csm_batch(cfg, 2, 8, seed=40)
+    frames = generation.generate(
+        zeroed, cfg, data["input_ids"], data["attention_mask"],
+        max_new_frames=5, greedy=True, stop_on_all_zeros=True,
+    )
+    assert frames.shape == (2, 0, 32)
+
+    # With stopping disabled the zero frames are emitted.
+    frames = generation.generate(
+        zeroed, cfg, data["input_ids"], data["attention_mask"],
+        max_new_frames=3, greedy=True, stop_on_all_zeros=False,
+    )
+    assert frames.shape == (2, 3, 32)
+    assert (frames == 0).all()
