@@ -1,16 +1,23 @@
 #!/usr/bin/env python
-"""Headline benchmark: single-stream CSM-1B frame generation throughput on
-one TPU chip.
+"""Headline benchmarks: CSM-1B generation on one TPU chip.
 
 Baseline (BASELINE.md): the reference's only published figure is ~130 ms of
-compute per 80 ms frame on an unspecified GPU — RTF 1.6, i.e. ≈7.69
-frames/s.  ``vs_baseline`` is measured frames/s over that 7.69.
+compute per 80 ms frame on an unspecified GPU — RTF 1.6, i.e. ≈7.69 frames/s
+(`/root/reference/ARCHITECTURE.md:185`).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "frames/s", "vs_baseline": N}
+Prints one JSON line per metric (all captured by the driver):
+
+1. ``csm1b_frames_per_sec_single_stream`` — the north-star number
+   (BASELINE.md: ≥125 target).  Uses the fused VMEM-resident int8 decoder
+   kernel (:mod:`csm_tpu.ops.fused_decoder`).
+2. ``csm1b_frames_per_sec_batch8_aggregate`` — 8 concurrent streams, XLA
+   decode path, aggregate frames/s.
+3. ``csm1b_first_frame_latency_ms`` — p50 prefill(64 frames)+first-frame
+   latency; ``vs_baseline`` is the reference's 130 ms over ours.
 
 Flags: ``--frames N`` (default 64), ``--prompt-frames N`` (default 64),
-``--tiny`` (debug: tiny config), ``--batch B`` (extra batched-serving line).
+``--tiny`` (debug), ``--skip-batch``, ``--skip-first-frame``,
+``--impl fused|xla`` (single-stream decoder implementation).
 """
 
 from __future__ import annotations
@@ -20,14 +27,28 @@ import json
 import sys
 import time
 
+BASELINE_MS_PER_FRAME = 130.0  # reference: ~130 ms/frame (BASELINE.md)
+BASELINE_FPS = 1000.0 / BASELINE_MS_PER_FRAME
+
+
+def _emit(metric, value, unit, vs_baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 2),
+        "unit": unit,
+        "vs_baseline": round(float(vs_baseline), 2),
+    }))
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--prompt-frames", type=int, default=64)
     ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--first-frame", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--skip-batch", action="store_true")
+    ap.add_argument("--skip-first-frame", action="store_true")
+    ap.add_argument("--impl", choices=("fused", "xla"), default="fused")
     args = ap.parse_args()
 
     import jax
@@ -49,82 +70,80 @@ def main():
 
     config = CSMConfig.tiny() if args.tiny else CSMConfig()
     dtype = jnp.bfloat16
-
-    B = args.batch
     S = args.prompt_frames
     rng = np.random.default_rng(0)
 
     print(f"init CSM params ({'tiny' if args.tiny else '1B'}, bf16)...", file=sys.stderr)
-    params = jax.jit(
-        lambda k: csm.init_params(k, config, dtype), donate_argnums=()
-    )(jax.random.key(0))
-    jax.block_until_ready(params)
-
-    # Text-only prompt frames (the TTS configuration in BASELINE.json).
-    ids = np.zeros((B, S, config.frame_width), np.int32)
-    ids[..., -1] = rng.integers(1, config.text_vocab_size, (B, S))
-    mask = np.zeros((B, S, config.frame_width), np.float32)
-    mask[..., -1] = 1.0
-
-    kwargs = dict(
-        max_new_frames=args.frames,
-        temperature=1.0,
-        topk=50,
-        greedy=False,
-        stop_on_all_zeros=False,  # fixed-length run for stable timing
-        stop_mode="stream",
-    )
-
-    print("compiling generate (first run)...", file=sys.stderr)
-    t0 = time.time()
-    frames, n = generate_compiled(
-        params, config, jnp.asarray(ids), jnp.asarray(mask),
-        jnp.int32(S), jax.random.key(1), **kwargs,
-    )
+    params = jax.jit(lambda k: csm.init_params(k, config, dtype))(jax.random.key(0))
     # NOTE: materialize via np.asarray — on this backend block_until_ready
     # does not actually synchronize; only a host transfer is a true barrier.
-    np.asarray(frames)
-    compile_s = time.time() - t0
-    print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
+    np.asarray(params["projection"])
 
-    # Timed runs.
-    times = []
-    for i in range(3):
-        t0 = time.time()
+    qdec = None
+    if args.impl == "fused" and jax.default_backend() != "cpu":
+        from csm_tpu.ops.fused_decoder import prepare_fused_decoder
+
+        qdec = jax.jit(lambda p: prepare_fused_decoder(p, config))(params)
+        np.asarray(qdec["s"]["wq"])
+
+    def prompt(batch):
+        ids = np.zeros((batch, S, config.frame_width), np.int32)
+        ids[..., -1] = rng.integers(1, config.text_vocab_size, (batch, S))
+        mask = np.zeros((batch, S, config.frame_width), np.float32)
+        mask[..., -1] = 1.0
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def run(batch, max_new_frames, q, key):
+        ids, mask = prompt(batch)
         frames, n = generate_compiled(
-            params, config, jnp.asarray(ids), jnp.asarray(mask),
-            jnp.int32(S), jax.random.key(2 + i), **kwargs,
+            params, config, ids, mask, jnp.int32(S), key,
+            max_new_frames=max_new_frames, temperature=1.0, topk=50,
+            greedy=False, stop_on_all_zeros=False, stop_mode="stream", qdec=q,
         )
-        np.asarray(frames)
-        times.append(time.time() - t0)
-    best = min(times)
-    total_frames = int(np.asarray(n).sum())
-    fps = total_frames / best
+        np.asarray(frames)  # true sync barrier
+        return int(np.asarray(n).sum())
 
-    if args.first_frame:
-        # Secondary: first-frame latency (prefill + one frame); costs an
-        # extra compile (different static max_new_frames), so opt-in.
-        for i in range(2):
+    def timed(batch, max_new_frames, q, reps=3):
+        t0 = time.time()
+        total = run(batch, max_new_frames, q, jax.random.key(1))
+        print(f"  compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+        times = []
+        for i in range(reps):
             t0 = time.time()
-            f1, _ = generate_compiled(
-                params, config, jnp.asarray(ids), jnp.asarray(mask),
-                jnp.int32(S), jax.random.key(9 + i),
-                **{**kwargs, "max_new_frames": 1},
-            )
-            np.asarray(f1)
-            first_frame_ms = (time.time() - t0) * 1000
-        print(f"first-frame latency: {first_frame_ms:.1f} ms", file=sys.stderr)
+            total = run(batch, max_new_frames, q, jax.random.key(2 + i))
+            times.append(time.time() - t0)
+        return total, times
 
-    baseline_fps = 1.0 / 0.130  # reference: ~130 ms per frame (BASELINE.md)
-    result = {
-        "metric": "csm1b_frames_per_sec_single_stream"
-        if B == 1
-        else f"csm1b_frames_per_sec_batch{B}",
-        "value": round(fps, 2),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 2),
-    }
-    print(json.dumps(result))
+    # 1. single stream (fused kernel when available)
+    print(f"single-stream ({args.impl})...", file=sys.stderr)
+    total, times = timed(1, args.frames, qdec)
+    fps = total / min(times)
+    _emit("csm1b_frames_per_sec_single_stream", fps, "frames/s", fps / BASELINE_FPS)
+
+    # 2. batched serving aggregate (XLA decode path)
+    if not args.skip_batch and args.batch > 1:
+        print(f"batch-{args.batch} aggregate...", file=sys.stderr)
+        total, times = timed(args.batch, args.frames, None)
+        bfps = total / min(times)
+        _emit(
+            f"csm1b_frames_per_sec_batch{args.batch}_aggregate",
+            bfps, "frames/s", bfps / BASELINE_FPS,
+        )
+
+    # 3. p50 first-frame latency (prefill + one frame)
+    if not args.skip_first_frame:
+        print("first-frame latency...", file=sys.stderr)
+        run(1, 1, qdec, jax.random.key(1))  # compile
+        lat = []
+        for i in range(7):
+            t0 = time.time()
+            run(1, 1, qdec, jax.random.key(10 + i))
+            lat.append((time.time() - t0) * 1000)
+        p50 = sorted(lat)[len(lat) // 2]
+        _emit(
+            "csm1b_first_frame_latency_ms", p50, "ms",
+            BASELINE_MS_PER_FRAME / p50,
+        )
 
 
 if __name__ == "__main__":

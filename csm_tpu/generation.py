@@ -80,6 +80,7 @@ def decode_frame(
     temperature: float,
     topk: int,
     greedy: bool,
+    qdec: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Sample all 32 codebooks of one frame (``modeling_csm.py:522-577``).
 
@@ -89,8 +90,20 @@ def decode_frame(
     ``audio_head[i-1]``, re-embeds with the codebook-i offset, and feeds one
     projected token at position i+1 (the final codebook skips the trailing
     decoder step, as the reference does).  Returns ``[B, 32]`` int32.
+
+    ``qdec``: a bundle from
+    :func:`csm_tpu.ops.fused_decoder.prepare_fused_decoder` switches the
+    whole loop to the VMEM-resident int8 Pallas kernel (B == 1 only; ~3×
+    faster on a v5e chip, quantized numerics — see that module's docs).
     """
     B = last_h.shape[0]
+    if qdec is not None and B == 1:
+        from csm_tpu.ops.fused_decoder import decode_frame_fused
+
+        return decode_frame_fused(
+            params, qdec, config, last_h, c0_logits, rng,
+            temperature, topk, greedy,
+        )
     N = config.audio_num_codebooks
     proj = params["projection"]
 
@@ -155,6 +168,7 @@ def generate_frame(
     greedy: bool = False,
     true_len: Optional[jnp.ndarray] = None,
     flash_prefill: bool = False,
+    qdec: Optional[dict] = None,
 ) -> csm.CSMOutput:
     """Generate one frame's 32 codebooks (reference
     ``generate_frame``, ``modeling_csm.py:484-589``).
@@ -174,7 +188,7 @@ def generate_frame(
         new_cache = new_cache.replace(index=start + true_len)
     samples = decode_frame(
         params, config, out.last_hidden_state, out.logits,
-        rng, temperature, topk, greedy,
+        rng, temperature, topk, greedy, qdec=qdec,
     )
     return csm.CSMOutput(
         last_hidden_state=out.last_hidden_state,
@@ -218,6 +232,7 @@ def generate_compiled(
     stop_on_all_zeros: bool = True,
     stop_mode: str = "batch",
     cache_len: Optional[int] = None,
+    qdec: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-utterance generation as one device program: prefill + a
     ``while_loop`` of frame steps (reference loop: ``modeling_csm.py:640-690``).
@@ -239,7 +254,7 @@ def generate_compiled(
     out = generate_frame(
         params, config, input_ids, attention_mask,
         cache=cache, rng=k0, temperature=temperature, topk=topk, greedy=greedy,
-        true_len=true_len, flash_prefill=True,
+        true_len=true_len, flash_prefill=True, qdec=qdec,
     )
 
     frames_buf = jnp.zeros((B, max_new_frames, config.audio_num_codebooks), jnp.int32)
@@ -281,6 +296,7 @@ def generate_compiled(
         out = generate_frame(
             params, config, ids, mask,
             cache=cache, rng=k, temperature=temperature, topk=topk, greedy=greedy,
+            qdec=qdec,
         )
         done, n_frames, frames_buf = process(
             out.samples, done, n_frames, frames_buf, step
@@ -313,6 +329,7 @@ def generate(
     rng: Optional[jax.Array] = None,
     greedy: bool = False,
     stop_mode: str = "batch",
+    qdec: Optional[dict] = None,
 ):
     """Reference-compatible ``generate`` (``modeling_csm.py:591-702``):
     returns ``[B, n_frames, 32]`` (possibly ``[B, 0, 32]``).
@@ -340,6 +357,7 @@ def generate(
         jnp.int32(S), rng,
         max_new_frames=max_new_frames, temperature=temperature, topk=topk,
         greedy=greedy, stop_on_all_zeros=stop_on_all_zeros, stop_mode=stop_mode,
+        qdec=qdec,
     )
     n = int(np.max(np.asarray(n_frames))) if stop_mode == "stream" else int(n_frames[0])
     return np.asarray(frames)[:, :n, :]

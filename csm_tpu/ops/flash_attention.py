@@ -33,7 +33,7 @@ NEG_INF = -1e9  # finite: fully-masked rows become uniform, not NaN
 
 
 def _flash_kernel(
-    valid_ref,  # [1, bk] int32 key validity
+    valid_ref,  # [1, 1, bk] int32 key validity
     q_ref,      # [1, 1, bq, hd]
     k_ref,      # [1, 1, bk, hd]
     v_ref,      # [1, 1, bk, hd]
@@ -67,7 +67,7 @@ def _flash_kernel(
 
     q_pos = i * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
     k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-    ok = valid_ref[0, :][None, :] > 0
+    ok = valid_ref[0, 0, :][None, :] > 0
     if causal:
         ok = ok & (k_pos <= q_pos)
     s = jnp.where(ok, s, NEG_INF)
@@ -122,7 +122,10 @@ def flash_attention(
 
     if key_valid is None:
         key_valid = jnp.ones((B, T), jnp.int32)
-    key_valid = key_valid.astype(jnp.int32)
+    # [B, 1, T]: the batch axis leads so the trailing block dims (1, bk)
+    # satisfy Mosaic's tiling rule for any B (a (1, bk) block on a 2-D
+    # [B, T] array is rejected when B > 1).
+    key_valid = key_valid.astype(jnp.int32)[:, None, :]
 
     # Mosaic requires the trailing two block dims be (8, 128)-divisible or
     # full — so heads go up front: [B, heads, seq, hd].
@@ -140,7 +143,7 @@ def flash_attention(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_k), lambda b, h, i, j: (b, j),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
                          memory_space=pltpu.VMEM),

@@ -1,0 +1,579 @@
+"""Fused intra-frame decoder: the whole 31-step codebook loop in ONE Pallas
+kernel with quantized decoder weights resident in VMEM.
+
+Why.  Single-stream generation is HBM-bandwidth-bound: the reference's inner
+loop (``/root/reference/modeling_csm.py:555-576``) and our XLA ``lax.scan``
+equivalent both re-read every decoder weight from HBM on each of the 31
+sequential steps — ~220 MB × 31 ≈ 6.8 GB per 80 ms frame, a ~8 ms floor at
+v5e's 819 GB/s.  This kernel loads the decoder ONCE per frame:
+
+- all decoder matmul weights are **int8 (symmetric, per-output-channel)** —
+  ~106 MB, resident in VMEM (v5e has 128 MB) across all 31 steps;
+- matmuls run **W8A8**: activations are dynamically quantized per row and
+  multiplied on the MXU as int8×int8→int32 (2× the bf16 MXU rate), then
+  rescaled in fp32 — no dequantized weight copy is ever materialized;
+- per-step ``audio_head`` slices (4.2 MB bf16) are double-buffered from HBM
+  by async DMA, overlapped with the decoder forward;
+- sampled-token embeddings are fetched by data-dependent DMA from a
+  **pre-projected** embedding table (``audio_embeddings @ projection``,
+  computed once at prepare time), so the per-step projection matmul
+  disappears;
+- top-k sampling runs in-kernel: the exact k-th largest logit is found by a
+  32-step bisection over the float bit pattern, then a Gumbel-max draw uses
+  noise precomputed outside with the same ``jax.random`` keys the XLA path
+  would consume (:mod:`csm_tpu.ops.sampling` semantics, reference
+  ``modeling_csm.py:170-189``).
+
+The per-frame HBM traffic for the intra-frame loop drops from ~6.8 GB to
+~130 MB (head slices + embedding rows).
+
+Numerics: the residual stream, norms, attention, and logit rescales are fp32;
+only matmul inputs are quantized.  The quantized path is **opt-in**
+(``decoder_impl="fused"`` in :func:`csm_tpu.generation.generate_compiled`);
+greedy token parity vs the reference is guaranteed only for the default XLA
+path.  :func:`emulate_decode_codebooks` is a pure-JAX op-for-op emulator of
+this kernel used as the correctness oracle in tests (bit-exact in interpret
+mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from csm_tpu.config import CSMConfig
+from csm_tpu.ops.rope import compute_rope_table
+from csm_tpu.ops.sampling import sample_topk
+
+NEG_INF = -1e9
+
+_MATS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+# ---------------------------------------------------------------------------
+# Preparation: quantize weights, pre-project embeddings
+# ---------------------------------------------------------------------------
+
+
+def quantize_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-channel int8 quantization of ``[..., K, N]``.
+
+    Returns ``(q int8 [..., K, N], scale f32 [..., 1, N])`` with
+    ``w ≈ q * scale``.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., 1, N]
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def prepare_fused_decoder(params: dict, config: CSMConfig) -> dict:
+    """Build the kernel's parameter bundle from a CSM param pytree.
+
+    One-time cost per model load: quantizes the decoder stack + pre-projects
+    the audio embedding table through ``projection`` (the XLA path computes
+    ``embed(ci) @ proj`` per step; here it is a table lookup).
+    """
+    dec = params["decoder"]["layers"]
+    dcfg = config.decoder
+    Dd = dcfg.hidden_size
+    out = {"w": {}, "s": {}}
+    for name in _MATS:
+        q, s = quantize_per_channel(dec[name])
+        out["w"][name] = q
+        out["s"][name] = s  # [L, 1, N]
+    out["attn_norm"] = dec["attn_norm"].astype(jnp.float32)[:, None, :]
+    out["mlp_norm"] = dec["mlp_norm"].astype(jnp.float32)[:, None, :]
+    out["final_norm"] = params["decoder"]["final_norm"].astype(jnp.float32)[None, :]
+    cos, sin = compute_rope_table(dcfg, config.decoder_rope_positions)
+    out["cos"] = cos.astype(jnp.float32)
+    out["sin"] = sin.astype(jnp.float32)
+
+    emb_dtype = params["audio_embeddings"].dtype
+    proj_emb = params["audio_embeddings"] @ params["projection"]  # [rows, Dd]
+    rows = proj_emb.shape[0]
+    lanes = min(Dd, 128)
+    out["proj_emb"] = proj_emb.reshape(rows, Dd // lanes, lanes).astype(emb_dtype)
+    # Zero-pad the head's vocab axis to a lane multiple: per-step DMA slices
+    # must be 128-aligned on the minor dimension; padding lanes are masked to
+    # NEG_INF before sampling.
+    Va = config.audio_vocab_size
+    Va_pad = -(-Va // 128) * 128
+    out["audio_head"] = jnp.pad(
+        params["audio_head"], ((0, 0), (0, 0), (0, Va_pad - Va))
+    )  # [N-1, Dd, Va_pad]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Shared math (used by both the kernel body and the emulator — keeping them
+# textually identical is what makes the emulator a bit-exact oracle)
+# ---------------------------------------------------------------------------
+
+
+def _rmsnorm_f32(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps) * w
+
+
+def _qmm(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """W8A8 matmul: dynamic per-row activation quant, int8×int8→int32 MXU,
+    fp32 rescale.  ``x [T,K] f32``, ``wq [K,N] int8``, ``s [1,N] f32``."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # [T, 1]
+    xs = jnp.where(amax > 0, amax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return acc.astype(jnp.float32) * xs * s
+
+
+def _rope_f32(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate ``x [T, H, hd]`` by ``cos/sin [T, hd]`` (HF rotate_half)."""
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * c + rotated * s
+
+
+def _attend(
+    q: jnp.ndarray,  # [T, nq, hd] f32 (rotated)
+    k_all: jnp.ndarray,  # [nkv, S, hd] f32 — full cache window
+    v_all: jnp.ndarray,  # [nkv, S, hd]
+    pos0,  # scalar: absolute position of q row 0
+) -> jnp.ndarray:
+    """Causal GQA over the static window.  Returns ``[T, nq*hd]`` f32."""
+    T, nq, hd = q.shape
+    nkv, S, _ = k_all.shape
+    g = nq // nkv
+    scale = 1.0 / (hd ** 0.5)
+    outs = []
+    qpos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (T * g, S), 0) // g
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (T * g, S), 1)
+    mask = kpos <= qpos
+    for j in range(nkv):
+        qj = q[:, j * g : (j + 1) * g, :].reshape(T * g, hd)
+        scores = jax.lax.dot_general(
+            qj, k_all[j], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [T*g, S]
+        scores = jnp.where(mask, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = e / jnp.sum(e, axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                probs, v_all[j], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(T, g * hd)
+        )
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _sample_row(
+    logits: jnp.ndarray,  # [1, V] f32
+    gumbel: jnp.ndarray,  # [1, V] f32
+    temperature,  # scalar f32
+    topk: int,
+    greedy: bool,
+) -> jnp.ndarray:
+    """One Gumbel-top-k draw (ties at the k-th value kept, as in
+    :func:`csm_tpu.ops.sampling.topk_mask`).  The k-th largest value is found
+    EXACTLY by bisection over orderable float bit patterns — no sort.
+    Returns ``[1]`` int32."""
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    scaled = logits / jnp.maximum(temperature, 1e-6)
+    u = jax.lax.bitcast_convert_type(scaled, jnp.uint32)
+    neg = (u >> 31) > 0
+    ukey = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
+
+    def bit_body(b, t):
+        cand = t | jax.lax.shift_left(jnp.uint32(1), jnp.uint32(31 - b))
+        cnt = jnp.sum((ukey >= cand).astype(jnp.int32))
+        return jnp.where(cnt >= topk, cand, t)
+
+    kth = jax.lax.fori_loop(0, 32, bit_body, jnp.uint32(0))
+    filtered = jnp.where(ukey >= kth, scaled, NEG_INF)
+    return jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _decoder_pass(
+    x: jnp.ndarray,  # [T, Dd] f32
+    pos0,  # scalar int32
+    T: int,
+    dcfg,
+    eps: float,
+    w_refs: dict,
+    s_refs: dict,
+    an_ref,
+    mn_ref,
+    fn_ref,
+    cos_ref,
+    sin_ref,
+    kv_k,
+    kv_v,
+) -> jnp.ndarray:
+    """One forward pass of the 4-layer decoder over ``T`` tokens starting at
+    absolute position ``pos0``, reading/writing the VMEM KV scratch.
+    Returns the final-norm hidden of the LAST token ``[1, Dd]`` f32."""
+    L = dcfg.num_hidden_layers
+    nq, nkv, hd = dcfg.num_attention_heads, dcfg.num_key_value_heads, dcfg.head_dim
+    Dd = dcfg.hidden_size
+
+    cos = cos_ref[pl.ds(pos0, T)]  # [T, hd]
+    sin = sin_ref[pl.ds(pos0, T)]
+    h = x
+    for l in range(L):
+        xn = _rmsnorm_f32(h, an_ref[l], eps)
+        q = _qmm(xn, w_refs["wq"][l], s_refs["wq"][l]).reshape(T, nq, hd)
+        k = _qmm(xn, w_refs["wk"][l], s_refs["wk"][l]).reshape(T, nkv, hd)
+        v = _qmm(xn, w_refs["wv"][l], s_refs["wv"][l]).reshape(T, nkv, hd)
+        q = _rope_f32(q, cos, sin)
+        k = _rope_f32(k, cos, sin)
+        for j in range(nkv):
+            kv_k[l, j, pl.ds(pos0, T), :] = k[:, j, :]
+            kv_v[l, j, pl.ds(pos0, T), :] = v[:, j, :]
+        attn = _attend(q, kv_k[l], kv_v[l], pos0)  # [T, nq*hd]
+        h = h + _qmm(attn, w_refs["wo"][l], s_refs["wo"][l])
+        xn = _rmsnorm_f32(h, mn_ref[l], eps)
+        gate = _qmm(xn, w_refs["w_gate"][l], s_refs["w_gate"][l])
+        up = _qmm(xn, w_refs["w_up"][l], s_refs["w_up"][l])
+        gated = jax.nn.silu(gate) * up
+        h = h + _qmm(gated, w_refs["w_down"][l], s_refs["w_down"][l])
+    h_last = h[T - 1 : T, :]
+    return _rmsnorm_f32(h_last, fn_ref[:], eps)
+
+
+def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype):
+    dcfg = config.decoder
+    eps = dcfg.rms_norm_eps
+    N = config.audio_num_codebooks
+    Va = config.audio_vocab_size
+    Va_pad = -(-Va // 128) * 128
+    Dd = dcfg.hidden_size
+    nkv, hd = dcfg.num_key_value_heads, dcfg.head_dim
+    L = dcfg.num_hidden_layers
+    lanes = min(Dd, 128)
+    sub = Dd // lanes
+
+    def kernel(
+        temp_ref,  # SMEM (1,) f32
+        x_prefill_ref,  # VMEM (2, Dd) f32
+        wq, wk, wv, wo, wg, wu, wd,  # VMEM int8 [L, K, N]
+        sq, sk, sv, so, sg, su, sd,  # VMEM f32 [L, 1, N]
+        an_ref, mn_ref, fn_ref,  # VMEM f32 norms
+        cos_ref, sin_ref,  # VMEM f32 [P, hd]
+        gumbel_ref,  # VMEM f32 [N-1, 1, Va]
+        head_hbm,  # ANY [N-1, Dd, Va]
+        emb_hbm,  # ANY [rows, sub, lanes]
+        samples_ref,  # out VMEM (1, N-1) int32
+        head_buf,  # scratch VMEM (2, Dd, Va) head_dtype
+        emb_buf,  # scratch VMEM (sub, lanes) head_dtype
+        kv_k, kv_v,  # scratch VMEM (L, nkv, P, hd) f32
+        head_sem,  # DMA sem (2,)
+        emb_sem,  # DMA sem ()
+    ):
+        w_refs = dict(zip(_MATS, (wq, wk, wv, wo, wg, wu, wd)))
+        s_refs = dict(zip(_MATS, (sq, sk, sv, so, sg, su, sd)))
+        temp = temp_ref[0]
+
+        def head_dma(slot, i):
+            return pltpu.make_async_copy(
+                head_hbm.at[i], head_buf.at[slot], head_sem.at[slot]
+            )
+
+        # Zero the KV scratch (uninitialized VMEM may hold junk; masked
+        # attention tolerates it but the emulator contract is zeros).
+        kv_k[...] = jnp.zeros(kv_k.shape, kv_k.dtype)
+        kv_v[...] = jnp.zeros(kv_v.shape, kv_v.dtype)
+
+        head_dma(0, 0).start()
+
+        # Decoder prefill: [proj(last_h); proj(embed(c0))] at positions 0..1
+        # (reference modeling_csm.py:536-552); inputs were projected outside.
+        h_last = _decoder_pass(
+            x_prefill_ref[:], 0, 2, dcfg, eps, w_refs, s_refs,
+            an_ref, mn_ref, fn_ref, cos_ref, sin_ref, kv_k, kv_v,
+        )
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, N - 1), 1)
+        vcol = jax.lax.broadcasted_iota(jnp.int32, (1, Va_pad), 1)
+
+        def step(i, carry):
+            h_last, samples = carry
+            slot = (i - 1) % 2
+            head_dma(slot, i - 1).wait()
+
+            @pl.when(i < N - 1)
+            def _():
+                head_dma(i % 2, i).start()
+
+            logits = jax.lax.dot_general(
+                h_last.astype(head_dtype), head_buf[slot],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # [1, Va_pad]
+            # Round through bf16 to mirror the XLA path's head-matmul output
+            # dtype, keeping greedy decisions comparable across paths; mask
+            # the zero-padded vocab lanes out of contention.
+            logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+            logits = jnp.where(vcol < Va, logits, NEG_INF)
+            ci = _sample_row(logits, gumbel_ref[i - 1], temp, topk, greedy)
+            samples = jnp.where(col == i - 1, ci[0], samples)
+
+            # Fetch the pre-projected embedding of ci (codebook-i offset) and
+            # run one decoder step at position i+1.  The i == N-1 step's
+            # output is unused (the reference also skips the trailing step) —
+            # running it unconditionally keeps the loop body uniform.
+            row = ci[0] + i * Va
+            dma = pltpu.make_async_copy(emb_hbm.at[row], emb_buf, emb_sem)
+            dma.start()
+            dma.wait()
+            x = emb_buf[:].astype(jnp.float32).reshape(1, Dd)
+            h_next = _decoder_pass(
+                x, i + 1, 1, dcfg, eps, w_refs, s_refs,
+                an_ref, mn_ref, fn_ref, cos_ref, sin_ref, kv_k, kv_v,
+            )
+            return h_next, samples
+
+        samples0 = jnp.zeros((1, N - 1), jnp.int32)
+        _, samples = jax.lax.fori_loop(1, N, step, (h_last, samples0))
+        samples_ref[:] = samples
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "topk", "greedy", "interpret")
+)
+def fused_decode_codebooks(
+    qdec: dict,
+    config: CSMConfig,
+    x_prefill: jnp.ndarray,  # [2, Dd] f32 — projected [last_h; embed(c0)]
+    gumbel: jnp.ndarray,  # [N-1, 1, Va] f32
+    temperature,  # scalar f32
+    *,
+    topk: int,
+    greedy: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused kernel; returns codebooks 1..N-1 as ``[1, N-1]`` int32."""
+    dcfg = config.decoder
+    N = config.audio_num_codebooks
+    Va = config.audio_vocab_size
+    Va_pad = -(-Va // 128) * 128
+    Dd = dcfg.hidden_size
+    L = dcfg.num_hidden_layers
+    nkv, hd = dcfg.num_key_value_heads, dcfg.head_dim
+    P = config.decoder_rope_positions
+    head_dtype = qdec["audio_head"].dtype
+    lanes = min(Dd, 128)
+    sub = Dd // lanes
+    gumbel = jnp.pad(
+        gumbel.astype(jnp.float32), ((0, 0), (0, 0), (0, Va_pad - Va))
+    )
+
+    kernel = _make_kernel(config, topk, greedy, head_dtype)
+
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    weights = [qdec["w"][m] for m in _MATS] + [qdec["s"][m] for m in _MATS]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM), vm]
+        + [vm] * (2 * len(_MATS))
+        + [vm] * 5  # norms + rope
+        + [vm]  # gumbel
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2  # head, emb tables
+    )
+
+    vmem_bytes = sum(int(w.size * w.dtype.itemsize) for w in weights)
+    vmem_bytes += 2 * Dd * Va_pad * jnp.dtype(head_dtype).itemsize  # head_buf
+    vmem_bytes += 8 * 1024 * 1024  # temporaries, KV, slop
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, N - 1), jnp.int32),
+        in_specs=in_specs,
+        out_specs=vm,
+        scratch_shapes=[
+            pltpu.VMEM((2, Dd, Va_pad), head_dtype),
+            pltpu.VMEM((sub, lanes), qdec["proj_emb"].dtype),
+            pltpu.VMEM((L, nkv, P, hd), jnp.float32),
+            pltpu.VMEM((L, nkv, P, hd), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(vmem_bytes, 127 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(temperature, jnp.float32).reshape(1),
+        x_prefill.astype(jnp.float32),
+        *weights,
+        qdec["attn_norm"], qdec["mlp_norm"], qdec["final_norm"],
+        qdec["cos"], qdec["sin"],
+        gumbel,
+        qdec["audio_head"],
+        qdec["proj_emb"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Emulator (pure JAX oracle — op-for-op identical math)
+# ---------------------------------------------------------------------------
+
+
+def emulate_decode_codebooks(
+    qdec: dict,
+    config: CSMConfig,
+    x_prefill: jnp.ndarray,
+    gumbel: jnp.ndarray,
+    temperature,
+    *,
+    topk: int,
+    greedy: bool,
+) -> jnp.ndarray:
+    """Pure-JAX replica of the kernel's exact arithmetic (same quantized
+    weights, same fp32 accumulation, same bisection top-k).  Used as the
+    test oracle; also runs on CPU."""
+    dcfg = config.decoder
+    eps = dcfg.rms_norm_eps
+    N = config.audio_num_codebooks
+    Va = config.audio_vocab_size
+    Va_pad = qdec["audio_head"].shape[-1]
+    Dd = dcfg.hidden_size
+    L = dcfg.num_hidden_layers
+    nq, nkv, hd = dcfg.num_attention_heads, dcfg.num_key_value_heads, dcfg.head_dim
+    P = config.decoder_rope_positions
+    head_dtype = qdec["audio_head"].dtype
+    gumbel = jnp.pad(
+        gumbel.astype(jnp.float32), ((0, 0), (0, 0), (0, Va_pad - Va))
+    )
+    vcol = jnp.arange(Va_pad)[None, :]
+
+    kv_k = jnp.zeros((L, nkv, P, hd), jnp.float32)
+    kv_v = jnp.zeros((L, nkv, P, hd), jnp.float32)
+    cos, sin = qdec["cos"], qdec["sin"]
+    proj_emb_flat = qdec["proj_emb"].reshape(qdec["proj_emb"].shape[0], Dd)
+
+    def dec_pass(kv_k, kv_v, x, pos0, T):
+        h = x.astype(jnp.float32)
+        c = jax.lax.dynamic_slice_in_dim(cos, pos0, T, 0)
+        s = jax.lax.dynamic_slice_in_dim(sin, pos0, T, 0)
+        for l in range(L):
+            xn = _rmsnorm_f32(h, qdec["attn_norm"][l], eps)
+            q = _qmm(xn, qdec["w"]["wq"][l], qdec["s"]["wq"][l]).reshape(T, nq, hd)
+            k = _qmm(xn, qdec["w"]["wk"][l], qdec["s"]["wk"][l]).reshape(T, nkv, hd)
+            v = _qmm(xn, qdec["w"]["wv"][l], qdec["s"]["wv"][l]).reshape(T, nkv, hd)
+            q = _rope_f32(q, c, s)
+            k = _rope_f32(k, c, s)
+            kv_k = jax.lax.dynamic_update_slice(
+                kv_k, k.transpose(1, 0, 2)[None, :, :, :].astype(jnp.float32),
+                (l, 0, pos0, 0),
+            )
+            kv_v = jax.lax.dynamic_update_slice(
+                kv_v, v.transpose(1, 0, 2)[None, :, :, :].astype(jnp.float32),
+                (l, 0, pos0, 0),
+            )
+            attn = _attend(q, kv_k[l], kv_v[l], pos0)
+            h = h + _qmm(attn, qdec["w"]["wo"][l], qdec["s"]["wo"][l])
+            xn = _rmsnorm_f32(h, qdec["mlp_norm"][l], eps)
+            gate = _qmm(xn, qdec["w"]["w_gate"][l], qdec["s"]["w_gate"][l])
+            up = _qmm(xn, qdec["w"]["w_up"][l], qdec["s"]["w_up"][l])
+            h = h + _qmm(
+                jax.nn.silu(gate) * up, qdec["w"]["w_down"][l], qdec["s"]["w_down"][l]
+            )
+        h_last = h[T - 1 : T, :]
+        return kv_k, kv_v, _rmsnorm_f32(h_last, qdec["final_norm"], eps)
+
+    kv_k, kv_v, h_last = dec_pass(kv_k, kv_v, x_prefill.astype(jnp.float32), 0, 2)
+
+    samples = []
+    for i in range(1, N):
+        logits = jax.lax.dot_general(
+            h_last.astype(head_dtype), qdec["audio_head"][i - 1],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+        logits = jnp.where(vcol < Va, logits, NEG_INF)
+        ci = _sample_row(
+            logits, gumbel[i - 1], jnp.asarray(temperature, jnp.float32),
+            topk, greedy,
+        )
+        samples.append(ci[0])
+        x = proj_emb_flat[ci[0] + i * Va][None, :]
+        kv_k, kv_v, h_last = dec_pass(kv_k, kv_v, x, i + 1, 1)
+    return jnp.stack(samples)[None, :].astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Frame-level wrapper (drop-in alternative to generation.decode_frame)
+# ---------------------------------------------------------------------------
+
+
+def decode_frame_fused(
+    params: dict,
+    qdec: dict,
+    config: CSMConfig,
+    last_h: jnp.ndarray,  # [B, D]
+    c0_logits: jnp.ndarray,  # [B, Va]
+    rng: Optional[jax.Array],
+    temperature,
+    topk: int,
+    greedy: bool,
+    *,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Sample one frame's 32 codebooks using the fused kernel (B == 1).
+
+    c0 is sampled OUTSIDE the kernel with the standard path (keys[0], exact
+    :func:`csm_tpu.ops.sampling.sample_topk` semantics); the Gumbel noise for
+    codebooks 1..31 is drawn from keys[1..31] exactly as the XLA path would,
+    so sampled-mode distributions line up across implementations.
+    """
+    B = last_h.shape[0]
+    if B != 1:
+        raise ValueError("fused decoder kernel supports batch size 1")
+    if interpret is None:
+        # No Mosaic backend on CPU (tests): fall back to interpreter mode.
+        interpret = jax.default_backend() == "cpu"
+    N = config.audio_num_codebooks
+    Va = config.audio_vocab_size
+
+    if rng is None:
+        rng = jax.random.key(0)
+    keys = jax.random.split(rng, N)
+    c0 = sample_topk(keys[0], c0_logits, topk, temperature, greedy)  # [B]
+
+    if greedy:
+        gumbel = jnp.zeros((N - 1, 1, Va), jnp.float32)
+    else:
+        gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (1, Va), jnp.float32))(
+            keys[1:]
+        )
+
+    proj_emb_flat = qdec["proj_emb"].reshape(
+        qdec["proj_emb"].shape[0], config.decoder.hidden_size
+    )
+    x0 = last_h @ params["projection"]  # [1, Dd]
+    x1 = proj_emb_flat[c0[0]][None, :]  # codebook-0 offset is 0
+    x_prefill = jnp.concatenate([x0.astype(jnp.float32), x1.astype(jnp.float32)], 0)
+
+    cb = fused_decode_codebooks(
+        qdec, config, x_prefill, gumbel, temperature,
+        topk=topk, greedy=greedy, interpret=interpret,
+    )  # [1, N-1]
+    return jnp.concatenate([c0[:, None], cb], axis=1)  # [1, N]
