@@ -91,8 +91,23 @@ def resample(wave: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
     ).astype(np.float32)
 
 
+def load_audio(path: str) -> Tuple[np.ndarray, int]:
+    """Read any supported container → (``[channels, samples]`` float32,
+    sample_rate).
+
+    The native runtime sniffs magic bytes and decodes WAV (all PCM widths +
+    float), FLAC (from-scratch decoder in ``native/codecs.cpp``), and MP3
+    (system libmpg123) — covering the formats the reference pipeline gets
+    from torchaudio (``train.py:117-126``).  Without the native runtime
+    only WAV is readable (pure-Python fallback).
+    """
+    if _native.available():
+        return _native.audio_read(path)
+    return load_wav(path)
+
+
 def load_audio_mono(path: str, target_rate: int) -> np.ndarray:
     """Load → mono → resample: the dataset's per-clip pipeline
     (``train.py:117-126``)."""
-    wave, rate = load_wav(path)
+    wave, rate = load_audio(path)
     return resample(to_mono(wave), rate, target_rate)

@@ -38,7 +38,7 @@ class CSMAudioTextDataset:
         self.audio_cache_dir = audio_cache_dir
         self.processor = processor
         self.num_train_epochs = num_train_epochs
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
 
         if audio_cache_dir and not os.path.exists(audio_cache_dir):
             os.makedirs(audio_cache_dir)
@@ -53,6 +53,11 @@ class CSMAudioTextDataset:
         return len(self.data) * self.num_train_epochs
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        # Per-index RNG: amortization draws depend only on (seed, idx) — the
+        # epoch-repetition index keeps resampling different frame subsets
+        # per pass, while resume-by-index and parallel loading stay
+        # bit-reproducible (a shared call-order RNG would not be).
+        rng = np.random.default_rng((self.seed, idx))
         idx = idx % len(self.data)
         item = self.data[idx]
         messages = item["messages"]
@@ -87,7 +92,7 @@ class CSMAudioTextDataset:
             max_length=2048,
             amortize_decoder_training=True,
             amortization_ratio=self.amortization_ratio,
-            rng=self._rng,
+            rng=rng,
         )
         return {
             "input_ids": processed["input_ids"][0],

@@ -46,6 +46,11 @@ class CSMModel:
             ),
             static_argnames=("k",),
         )
+        # Built once: building a fresh jax.jit per call would re-trace and
+        # recompile on EVERY forward() even at identical shapes.
+        self._fwd_nolabels = jax.jit(
+            lambda p, ids, mask: csm.forward(p, config, ids, mask)
+        )
 
     # -- reference API ------------------------------------------------------
 
@@ -70,9 +75,7 @@ class CSMModel:
         if lbl is not None and k is None:
             k = int(ids.shape[0] * ids.shape[1])
         if lbl is None:
-            return jax.jit(
-                lambda p, i, m: csm.forward(p, self.config, i, m)
-            )(self.params, ids, mask)
+            return self._fwd_nolabels(self.params, ids, mask)
         return self._fwd(self.params, ids, mask, lbl, k)
 
     __call__ = forward

@@ -17,7 +17,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "audio.cpp")
+_SRCS = [os.path.join(_HERE, "audio.cpp"), os.path.join(_HERE, "codecs.cpp")]
 _SO = os.path.join(_HERE, "_audio.so")
 
 _lock = threading.Lock()
@@ -27,7 +27,8 @@ _load_failed = False
 
 def _build() -> None:
     subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", *_SRCS, "-o", _SO,
+         "-ldl"],
         check=True, capture_output=True,
     )
 
@@ -39,7 +40,8 @@ def load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _load_failed:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+            if not os.path.exists(_SO) or os.path.getmtime(_SO) < src_mtime:
                 _build()
             lib = ctypes.CDLL(_SO)
         except Exception:
@@ -47,12 +49,14 @@ def load() -> Optional[ctypes.CDLL]:
             return None
 
         c_float_p = ctypes.POINTER(ctypes.c_float)
-        lib.wav_read.restype = ctypes.c_int
-        lib.wav_read.argtypes = [
+        read_sig = [
             ctypes.c_char_p, ctypes.POINTER(c_float_p),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_long),
         ]
+        for fn in ("wav_read", "flac_read", "mp3_read", "audio_read"):
+            getattr(lib, fn).restype = ctypes.c_int
+            getattr(lib, fn).argtypes = read_sig
         lib.wav_free.argtypes = [c_float_p]
         lib.wav_write.restype = ctypes.c_int
         lib.wav_write.argtypes = [
@@ -72,23 +76,35 @@ def available() -> bool:
     return load() is not None
 
 
-def wav_read(path: str) -> Tuple[np.ndarray, int]:
-    """WAV → (``[channels, samples]`` float32, sample_rate)."""
+def _read_via(fn_name: str, path: str) -> Tuple[np.ndarray, int]:
     lib = load()
     data = ctypes.POINTER(ctypes.c_float)()
     ch = ctypes.c_int()
     rate = ctypes.c_int()
     frames = ctypes.c_long()
-    rc = lib.wav_read(path.encode(), ctypes.byref(data), ctypes.byref(ch),
-                      ctypes.byref(rate), ctypes.byref(frames))
+    rc = getattr(lib, fn_name)(
+        path.encode(), ctypes.byref(data), ctypes.byref(ch),
+        ctypes.byref(rate), ctypes.byref(frames),
+    )
     if rc != 0:
-        raise IOError(f"wav_read({path}) failed with code {rc}")
+        raise IOError(f"{fn_name}({path}) failed with code {rc}")
     try:
         n = frames.value * ch.value
         arr = np.ctypeslib.as_array(data, shape=(n,)).copy()
     finally:
         lib.wav_free(data)
     return arr.reshape(frames.value, ch.value).T, rate.value
+
+
+def wav_read(path: str) -> Tuple[np.ndarray, int]:
+    """WAV → (``[channels, samples]`` float32, sample_rate)."""
+    return _read_via("wav_read", path)
+
+
+def audio_read(path: str) -> Tuple[np.ndarray, int]:
+    """Any supported container (WAV / FLAC / MP3, sniffed by magic bytes)
+    → (``[channels, samples]`` float32, sample_rate)."""
+    return _read_via("audio_read", path)
 
 
 def wav_write(path: str, wave: np.ndarray, sample_rate: int) -> None:

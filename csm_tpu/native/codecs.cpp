@@ -1,0 +1,476 @@
+// csm_tpu native audio runtime: FLAC + MP3 decode.
+//
+// Extends the WAV/resample runtime (audio.cpp) with the compressed formats
+// the reference's torchaudio backend reads for training data
+// (/root/reference/train.py:117-126).  Design:
+//
+//   * FLAC — a from-scratch subset decoder (no third-party code): metadata
+//     parse, frame sync, UTF-8 frame numbers, CONSTANT/VERBATIM/FIXED/LPC
+//     subframes, Rice-coded residuals (both 4- and 5-bit parameter widths,
+//     escape partitions), wasted bits, and left/right/mid-side channel
+//     decorrelation.  CRCs are not verified (decode-for-training, not
+//     archival validation).
+//   * MP3 — decoded through the system libmpg123 (dlopen'd at runtime, no
+//     headers needed); output forced to float32.
+//   * audio_read — container sniffing (RIFF / fLaC / MP3 ID3 or frame
+//     sync) dispatching to the right decoder, so Python has one entry
+//     point for any supported file.
+//
+// All outputs are malloc'd interleaved float32 in [-1, 1], released with
+// wav_free (audio.cpp).
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <dlfcn.h>
+#include <vector>
+
+extern "C" {
+int wav_read(const char* path, float** out, int* channels, int* sample_rate,
+             long* frames);
+}
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Bit reader (MSB-first, as FLAC requires)
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* p;
+  size_t n;      // total bytes
+  size_t byte = 0;
+  int bit = 0;   // bits consumed of current byte (0..7)
+  bool fail = false;
+
+  BitReader(const uint8_t* data, size_t len) : p(data), n(len) {}
+
+  bool eof() const { return byte >= n; }
+
+  uint32_t bits(int k) {  // k <= 32
+    uint32_t v = 0;
+    for (int i = 0; i < k; i++) {
+      if (byte >= n) { fail = true; return 0; }
+      v = (v << 1) | ((p[byte] >> (7 - bit)) & 1);
+      if (++bit == 8) { bit = 0; byte++; }
+    }
+    return v;
+  }
+
+  uint64_t bits64(int k) {
+    uint64_t v = 0;
+    if (k > 32) { v = bits(k - 32); return (v << 32) | bits(32); }
+    return bits(k);
+  }
+
+  int64_t sbits(int k) {  // signed, two's complement
+    uint64_t v = bits64(k);
+    if (k > 0 && (v >> (k - 1)) & 1) v -= (uint64_t)1 << k;
+    return (int64_t)v;
+  }
+
+  uint32_t unary() {  // count 0s until a 1
+    uint32_t q = 0;
+    for (;;) {
+      if (byte >= n) { fail = true; return 0; }
+      if ((p[byte] >> (7 - bit)) & 1) {
+        if (++bit == 8) { bit = 0; byte++; }
+        return q;
+      }
+      q++;
+      if (++bit == 8) { bit = 0; byte++; }
+    }
+  }
+
+  void align() { if (bit) { bit = 0; byte++; } }
+};
+
+// ---------------------------------------------------------------------------
+// FLAC
+// ---------------------------------------------------------------------------
+
+// UTF-8-style coded number in a frame header (up to 56 bits).
+bool read_utf8(BitReader& br, uint64_t* out) {
+  uint32_t b0 = br.bits(8);
+  if (br.fail) return false;
+  if (!(b0 & 0x80)) { *out = b0; return true; }
+  int nbytes = 0;
+  uint32_t mask = 0x40;
+  while (b0 & mask) { nbytes++; mask >>= 1; }
+  if (nbytes < 1 || nbytes > 6) return false;
+  uint64_t v = b0 & (mask - 1);
+  for (int i = 0; i < nbytes; i++) {
+    uint32_t b = br.bits(8);
+    if (br.fail || (b & 0xC0) != 0x80) return false;
+    v = (v << 6) | (b & 0x3F);
+  }
+  *out = v;
+  return true;
+}
+
+// Rice-coded residual for one subframe; fills res[warmup..blocksize).
+bool read_residual(BitReader& br, int blocksize, int order,
+                   std::vector<int64_t>& res) {
+  uint32_t method = br.bits(2);
+  if (method > 1) return false;
+  int plen_bits = method == 0 ? 4 : 5;
+  uint32_t escape = method == 0 ? 0xF : 0x1F;
+  uint32_t part_order = br.bits(4);
+  uint32_t nparts = 1u << part_order;
+  if (blocksize % nparts) return false;
+  int idx = order;
+  for (uint32_t pt = 0; pt < nparts; pt++) {
+    int count = blocksize >> part_order;
+    if (pt == 0) count -= order;
+    if (count < 0) return false;
+    uint32_t param = br.bits(plen_bits);
+    if (param == escape) {
+      uint32_t raw = br.bits(5);
+      for (int i = 0; i < count; i++) res[idx++] = raw ? br.sbits(raw) : 0;
+    } else {
+      for (int i = 0; i < count; i++) {
+        uint32_t q = br.unary();
+        uint32_t r = param ? br.bits(param) : 0;
+        uint64_t u = ((uint64_t)q << param) | r;
+        res[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);  // zigzag
+      }
+    }
+    if (br.fail) return false;
+  }
+  return true;
+}
+
+bool read_subframe(BitReader& br, int blocksize, int bps,
+                   std::vector<int64_t>& x) {
+  if (br.bits(1) != 0) return false;  // padding bit
+  uint32_t type = br.bits(6);
+  int wasted = 0;
+  if (br.bits(1)) wasted = (int)br.unary() + 1;
+  bps -= wasted;
+  if (bps <= 0 || bps > 33) return false;
+  x.assign(blocksize, 0);
+
+  if (type == 0) {  // CONSTANT
+    int64_t v = br.sbits(bps);
+    for (int i = 0; i < blocksize; i++) x[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (int i = 0; i < blocksize; i++) x[i] = br.sbits(bps);
+  } else if (type >= 8 && type <= 12) {  // FIXED, order 0..4
+    int order = type - 8;
+    for (int i = 0; i < order; i++) x[i] = br.sbits(bps);
+    if (!read_residual(br, blocksize, order, x)) return false;
+    for (int i = order; i < blocksize; i++) {
+      int64_t r = x[i];
+      switch (order) {
+        case 0: break;
+        case 1: r += x[i - 1]; break;
+        case 2: r += 2 * x[i - 1] - x[i - 2]; break;
+        case 3: r += 3 * x[i - 1] - 3 * x[i - 2] + x[i - 3]; break;
+        case 4: r += 4 * x[i - 1] - 6 * x[i - 2] + 4 * x[i - 3] - x[i - 4]; break;
+      }
+      x[i] = r;
+    }
+  } else if (type >= 32) {  // LPC, order 1..32
+    int order = (int)type - 31;
+    for (int i = 0; i < order; i++) x[i] = br.sbits(bps);
+    uint32_t prec = br.bits(4);
+    if (prec == 0xF) return false;
+    int precision = (int)prec + 1;
+    int shift = (int)br.sbits(5);
+    if (shift < 0) return false;
+    std::vector<int64_t> coef(order);
+    for (int i = 0; i < order; i++) coef[i] = br.sbits(precision);
+    if (!read_residual(br, blocksize, order, x)) return false;
+    for (int i = order; i < blocksize; i++) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; j++) acc += coef[j] * x[i - 1 - j];
+      x[i] += acc >> shift;
+    }
+  } else {
+    return false;  // reserved
+  }
+  if (br.fail) return false;
+  if (wasted) for (auto& v : x) v <<= wasted;
+  return true;
+}
+
+int flac_decode(const uint8_t* buf, size_t len, float** out, int* channels,
+                int* sample_rate, long* frames) {
+  if (len < 8 || memcmp(buf, "fLaC", 4)) return -3;
+  size_t pos = 4;
+  int ch = 0, bps = 0;
+  long rate = 0;
+  uint64_t total = 0;
+  // Metadata blocks.
+  bool last = false;
+  bool have_info = false;
+  while (!last) {
+    if (pos + 4 > len) return -4;
+    uint8_t hdr = buf[pos];
+    last = hdr & 0x80;
+    int type = hdr & 0x7F;
+    uint32_t blen = ((uint32_t)buf[pos + 1] << 16) | ((uint32_t)buf[pos + 2] << 8) |
+                    buf[pos + 3];
+    pos += 4;
+    if (pos + blen > len) return -4;
+    if (type == 0 && blen >= 34) {  // STREAMINFO
+      BitReader br(buf + pos, blen);
+      br.bits(16); br.bits(16);          // min/max blocksize
+      br.bits(24); br.bits(24);          // min/max framesize
+      rate = (long)br.bits(20);
+      ch = (int)br.bits(3) + 1;
+      bps = (int)br.bits(5) + 1;
+      total = br.bits64(36);
+      have_info = true;
+    }
+    pos += blen;
+  }
+  if (!have_info || ch < 1 || ch > 8 || rate <= 0) return -5;
+
+  std::vector<float> pcm;
+  if (total) pcm.reserve((size_t)total * ch);
+
+  BitReader br(buf + pos, len - pos);
+  std::vector<std::vector<int64_t>> sub(ch);
+  while (!br.eof()) {
+    // Frame sync (byte-aligned).
+    br.align();
+    if (br.byte + 2 > br.n) break;
+    uint32_t sync = br.bits(14);
+    if (br.fail) break;
+    if (sync != 0x3FFE) return -6;
+    br.bits(1);                       // reserved
+    br.bits(1);                       // blocking strategy
+    uint32_t bs_code = br.bits(4);
+    uint32_t sr_code = br.bits(4);
+    uint32_t ch_asgn = br.bits(4);
+    uint32_t ss_code = br.bits(3);
+    br.bits(1);                       // reserved
+    uint64_t fno;
+    if (!read_utf8(br, &fno)) return -6;
+
+    int blocksize;
+    switch (bs_code) {
+      case 1: blocksize = 192; break;
+      case 2: case 3: case 4: case 5: blocksize = 576 << (bs_code - 2); break;
+      case 6: blocksize = (int)br.bits(8) + 1; break;
+      case 7: blocksize = (int)br.bits(16) + 1; break;
+      default:
+        if (bs_code >= 8) blocksize = 256 << (bs_code - 8);
+        else return -6;
+    }
+    if (sr_code == 12) br.bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.bits(16);
+    br.bits(8);  // header CRC (unverified)
+
+    int fbps = bps;
+    switch (ss_code) {
+      case 1: fbps = 8; break;  case 2: fbps = 12; break;
+      case 4: fbps = 16; break; case 5: fbps = 20; break;
+      case 6: fbps = 24; break; case 7: fbps = 32; break;
+      default: break;  // 0 = from STREAMINFO
+    }
+
+    int nch = ch;
+    if (ch_asgn >= 8 && ch_asgn <= 10) nch = 2;
+    else if (ch_asgn < 8) nch = (int)ch_asgn + 1;
+    else return -6;
+    if (nch != ch) return -6;
+
+    for (int c = 0; c < nch; c++) {
+      int sbps = fbps;
+      // The "side" channel carries one extra bit.
+      if ((ch_asgn == 8 && c == 1) || (ch_asgn == 9 && c == 0) ||
+          (ch_asgn == 10 && c == 1))
+        sbps += 1;
+      if (!read_subframe(br, blocksize, sbps, sub[c])) return -7;
+    }
+    br.align();
+    br.bits(16);  // frame CRC (unverified)
+    if (br.fail) return -7;
+
+    // Channel decorrelation.
+    if (ch_asgn == 8) {        // left/side: right = left - side
+      for (int i = 0; i < blocksize; i++) sub[1][i] = sub[0][i] - sub[1][i];
+    } else if (ch_asgn == 9) { // right/side: left = right + side
+      for (int i = 0; i < blocksize; i++) sub[0][i] = sub[1][i] + sub[0][i];
+    } else if (ch_asgn == 10) { // mid/side
+      for (int i = 0; i < blocksize; i++) {
+        int64_t side = sub[1][i];
+        int64_t mid2 = (sub[0][i] << 1) | (side & 1);
+        sub[0][i] = (mid2 + side) >> 1;
+        sub[1][i] = (mid2 - side) >> 1;
+      }
+    }
+
+    float scale = 1.0f / (float)((uint64_t)1 << (fbps - 1));
+    size_t base = pcm.size();
+    pcm.resize(base + (size_t)blocksize * ch);
+    for (int i = 0; i < blocksize; i++)
+      for (int c = 0; c < ch; c++)
+        pcm[base + (size_t)i * ch + c] = (float)sub[c][i] * scale;
+
+    if (total && pcm.size() >= total * (uint64_t)ch) break;
+  }
+
+  long n_frames = (long)(pcm.size() / ch);
+  if (total && (uint64_t)n_frames > total) n_frames = (long)total;
+  if (n_frames == 0) return -8;
+  float* res = new float[(size_t)n_frames * ch];
+  memcpy(res, pcm.data(), sizeof(float) * (size_t)n_frames * ch);
+  *out = res;
+  *channels = ch;
+  *sample_rate = (int)rate;
+  *frames = n_frames;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// MP3 via libmpg123 (dlopen; no headers needed)
+// ---------------------------------------------------------------------------
+
+struct Mpg123 {
+  void* so = nullptr;
+  int (*init)();
+  void* (*newh)(const char*, int*);
+  int (*open)(void*, const char*);
+  int (*getformat)(void*, long*, int*, int*);
+  int (*format_none)(void*);
+  int (*format)(void*, long, int, int);
+  int (*read)(void*, void*, size_t, size_t*);
+  int (*close)(void*);
+  void (*del)(void*);
+  bool ok = false;
+};
+
+Mpg123& mpg123() {
+  static Mpg123 m;
+  static bool tried = false;
+  if (tried) return m;
+  tried = true;
+  for (const char* name : {"libmpg123.so.0", "libmpg123.so"}) {
+    m.so = dlopen(name, RTLD_NOW | RTLD_LOCAL);
+    if (m.so) break;
+  }
+  if (!m.so) return m;
+#define L(sym, field) \
+  *(void**)(&m.field) = dlsym(m.so, sym); \
+  if (!m.field) return m;
+  L("mpg123_init", init)
+  L("mpg123_new", newh)
+  L("mpg123_open", open)
+  L("mpg123_getformat", getformat)
+  L("mpg123_format_none", format_none)
+  L("mpg123_format", format)
+  L("mpg123_read", read)
+  L("mpg123_close", close)
+  L("mpg123_delete", del)
+#undef L
+  m.init();
+  m.ok = true;
+  return m;
+}
+
+constexpr int MPG123_OK = 0;
+constexpr int MPG123_DONE = -12;
+constexpr int MPG123_NEW_FORMAT = -11;
+// Force 16-bit signed output: every libmpg123 build supports it (float
+// output is absent from integer-only builds, which accept the request and
+// silently keep s16 — observed with this system's library).
+constexpr int MPG123_ENC_SIGNED_16 = 0xD0;
+
+int mp3_decode(const char* path, float** out, int* channels, int* sample_rate,
+               long* frames) {
+  Mpg123& m = mpg123();
+  if (!m.ok) return -20;  // libmpg123 unavailable
+  int err = 0;
+  void* h = m.newh(nullptr, &err);
+  if (!h) return -21;
+  if (m.open(h, path) != MPG123_OK) { m.del(h); return -22; }
+
+  long rate = 0;
+  int ch = 0, enc = 0;
+  if (m.getformat(h, &rate, &ch, &enc) != MPG123_OK || ch <= 0) {
+    m.close(h); m.del(h); return -23;
+  }
+  m.format_none(h);
+  m.format(h, rate, ch, MPG123_ENC_SIGNED_16);
+
+  std::vector<float> pcm;
+  std::vector<uint8_t> chunk(1 << 16);
+  for (;;) {
+    size_t done = 0;
+    int rc = m.read(h, chunk.data(), chunk.size(), &done);
+    if (done) {
+      const int16_t* s = (const int16_t*)chunk.data();
+      size_t cnt = done / sizeof(int16_t);
+      for (size_t i = 0; i < cnt; i++) pcm.push_back(s[i] / 32768.0f);
+    }
+    if (rc == MPG123_NEW_FORMAT) {
+      m.getformat(h, &rate, &ch, &enc);
+      continue;
+    }
+    if (rc == MPG123_DONE) break;
+    if (rc != MPG123_OK) break;
+  }
+  m.close(h);
+  m.del(h);
+  if (pcm.empty() || ch <= 0) return -24;
+
+  long n_frames = (long)(pcm.size() / ch);
+  float* res = new float[pcm.size()];
+  memcpy(res, pcm.data(), sizeof(float) * pcm.size());
+  *out = res;
+  *channels = ch;
+  *sample_rate = (int)rate;
+  *frames = n_frames;
+  return 0;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Unified entry point: container sniffing
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int flac_read(const char* path, float** out, int* channels, int* sample_rate,
+              long* frames) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  std::vector<uint8_t> buf;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  buf.resize(n);
+  if (n > 0 && fread(buf.data(), 1, n, f) != (size_t)n) { fclose(f); return -2; }
+  fclose(f);
+  return flac_decode(buf.data(), buf.size(), out, channels, sample_rate, frames);
+}
+
+int mp3_read(const char* path, float** out, int* channels, int* sample_rate,
+             long* frames) {
+  return mp3_decode(path, out, channels, sample_rate, frames);
+}
+
+// Sniff RIFF-WAV / FLAC / MP3 (ID3 tag or bare frame sync) and decode.
+int audio_read(const char* path, float** out, int* channels, int* sample_rate,
+               long* frames) {
+  uint8_t magic[4] = {0};
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  size_t got = fread(magic, 1, 4, f);
+  fclose(f);
+  if (got < 4) return -2;
+  if (!memcmp(magic, "RIFF", 4))
+    return wav_read(path, out, channels, sample_rate, frames);
+  if (!memcmp(magic, "fLaC", 4))
+    return flac_read(path, out, channels, sample_rate, frames);
+  if (!memcmp(magic, "ID3", 3) || (magic[0] == 0xFF && (magic[1] & 0xE0) == 0xE0))
+    return mp3_read(path, out, channels, sample_rate, frames);
+  return -30;  // unknown container
+}
+
+}  // extern "C"

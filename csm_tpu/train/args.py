@@ -48,10 +48,16 @@ class TrainingArguments:
     weight_decay: float = 0.0
     max_grad_norm: float = 1.0
     bf16: bool = False
+    fp16: bool = False  # reference exposes fp32/fp16/bf16 (train.py:374-383);
+    # fp16 is rarely right on TPU (bf16 is MXU-native) but kept for surface
+    # parity.
     seed: int = 42
     resume_from_checkpoint: bool = False
     # TPU-specific
-    max_seq_length: int = 2048  # static per-batch frame bucket
+    max_seq_length: int = 2048  # hard cap / fallback static frame bucket
+    pad_to_multiple: int = 64  # length-bucket granularity: batches pad to the
+    # next multiple instead of always paying the full max_seq_length
+    # attention square (0 = always pad to max_seq_length)
     mesh_data: Optional[int] = None  # data-parallel axis size (default: all devices)
     mesh_model: int = 1  # tensor-parallel axis size
 

@@ -176,8 +176,12 @@ class CSMTrainer:
         dp = int(self.mesh.shape["data"])
         self.global_batch = args.per_device_train_batch_size * dp
         n_items = len(train_dataset)
+        # ceil: the trailing partial accumulation window is trained on too
+        # (_batches tops it up by repeating items), matching HF Trainer's
+        # no-drop-last default rather than silently losing samples.
         self.total_steps = max(
-            1, n_items // (self.global_batch * args.gradient_accumulation_steps)
+            1,
+            math.ceil(n_items / (self.global_batch * args.gradient_accumulation_steps)),
         )
 
         # Epoch→steps rescheduling (``train.py:414-467``): an "old epoch" is
@@ -214,9 +218,15 @@ class CSMTrainer:
             (self.global_batch * args.max_seq_length)
             // getattr(train_dataset, "amortization_ratio", 16),
         ) + self.global_batch
+        self._max_dec = max_dec
+        if args.bf16:
+            compute_dtype = jnp.bfloat16
+        elif getattr(args, "fp16", False):
+            compute_dtype = jnp.float16
+        else:
+            compute_dtype = None
         step_fn = make_train_step(
-            config, optimizer, max_dec,
-            compute_dtype=jnp.bfloat16 if args.bf16 else None,
+            config, optimizer, max_dec, compute_dtype=compute_dtype,
         )
 
         with self.mesh:
@@ -226,25 +236,51 @@ class CSMTrainer:
                 params=params, opt_state=opt_state, step=jnp.int32(0)
             )
         self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        # Jitted once here: a per-evaluate() jax.jit would recompile on every
+        # evaluation pass.  The decoder-frame bound reuses the training-path
+        # formula — eval batches can hold up to global_batch*(S/ratio)+gb
+        # valid decoder frames, and a smaller cap would silently drop the
+        # later frames from eval_loss.
+        self._eval_fn = jax.jit(
+            lambda p, b: csm.forward(
+                p, self.config, b["input_ids"], b["attention_mask"],
+                labels=b["labels"], max_decoder_frames=self._max_dec,
+            ).loss
+        )
         self._metrics_log: list = []
 
     # ------------------------------------------------------------------
 
-    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        """Yield ``[accum, global_batch, S, 33]`` batches from the dataset."""
+    def _batches(self, skip_items: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Yield ``[accum, global_batch, S, 33]`` batches from the dataset.
+
+        A trailing partial accumulation window is topped up by repeating its
+        items (round-robin) so every sample trains at least once and shapes
+        stay static — no silent drop (HF Trainer's no-drop-last default).
+
+        ``skip_items``: resume fast-forward by index math — the skipped
+        items are never loaded (no replayed audio I/O or Mimi encodes).
+        """
         args = self.args
         accum = args.gradient_accumulation_steps
         need = self.global_batch * accum
         buf = []
-        for i in range(len(self.train_dataset)):
+        for i in range(skip_items, len(self.train_dataset)):
             buf.append(self.train_dataset[i])
             if len(buf) == need:
-                collated = self.data_collator(buf)
-                yield {
-                    k: v.reshape(accum, self.global_batch, *v.shape[1:])
-                    for k, v in collated.items()
-                }
+                yield self._collate_group(buf, accum)
                 buf = []
+        if buf:
+            n = len(buf)
+            buf = [buf[j % n] for j in range(need)]
+            yield self._collate_group(buf, accum)
+
+    def _collate_group(self, buf, accum):
+        collated = self.data_collator(buf)
+        return {
+            k: v.reshape(accum, self.global_batch, *v.shape[1:])
+            for k, v in collated.items()
+        }
 
     def _maybe_resume(self) -> int:
         """Restore the latest checkpoint if requested; returns the step to
@@ -263,9 +299,20 @@ class CSMTrainer:
             template={"params": self.state.params,
                       "opt_state": self.state.opt_state, "step": 0},
         )
+        # Re-apply the mesh shardings to params (orbax restores onto a single
+        # device; the jitted step rejects mixed committed placements).  The
+        # optimizer state is rebuilt as UNCOMMITTED host arrays so the step
+        # function is free to place each leaf where its compiled layout
+        # expects it.
+        params = jax.device_put(
+            restored["params"],
+            jax.tree.map(lambda x: x.sharding, self.state.params),
+        )
+        opt_state = jax.tree.map(
+            lambda x: jnp.asarray(np.asarray(x)), restored["opt_state"]
+        )
         self.state = TrainState(
-            params=restored["params"], opt_state=restored["opt_state"],
-            step=jnp.int32(step),
+            params=params, opt_state=opt_state, step=jnp.int32(step),
         )
         logger.info("resumed from checkpoint at step %d", step)
         return step
@@ -283,10 +330,15 @@ class CSMTrainer:
         start_step = self._maybe_resume()
         last = {}
         t0 = time.time()
+        need = self.global_batch * args.gradient_accumulation_steps
         with self.mesh:
-            for step, batch in enumerate(self._batches(), start=1):
-                if step <= start_step:
-                    continue  # fast-forward the data stream on resume
+            # Resume fast-forwards by INDEX (O(1)): skipped items are never
+            # loaded, so no replayed audio decode / Mimi encode per skipped
+            # step.  Amortization draws stay reproducible because the
+            # dataset seeds its RNG per item index.
+            for step, batch in enumerate(
+                self._batches(skip_items=start_step * need), start=start_step + 1
+            ):
                 batch = {
                     k: jax.device_put(jnp.asarray(v), mb_sharding)
                     for k, v in batch.items()
@@ -314,24 +366,37 @@ class CSMTrainer:
         return last
 
     def evaluate(self) -> float:
-        """Mean eval loss over the eval dataset (no grad)."""
-        eval_fn = jax.jit(
-            lambda p, b: csm.forward(
-                p, self.config, b["input_ids"], b["attention_mask"],
-                labels=b["labels"],
-                max_decoder_frames=max(1, self.args.max_seq_length // 4),
-            ).loss
-        )
+        """Mean eval loss over the eval dataset (no grad).
+
+        The trailing partial batch is padded with repeats of its own items
+        but only the real items' losses enter the mean (no silent drop of
+        the last ``< global_batch`` eval examples).
+        """
         losses = []
         buf = []
+
+        def flush(n_real):
+            collated = self.data_collator(buf)
+            batch = {k: jnp.asarray(v) for k, v in collated.items()}
+            loss = float(self._eval_fn(self.state.params, batch))
+            losses.extend([loss] * n_real)
+
         with self.mesh:
             for i in range(len(self.eval_dataset)):
                 buf.append(self.eval_dataset[i])
                 if len(buf) == self.global_batch:
-                    collated = self.data_collator(buf)
-                    batch = {k: jnp.asarray(v) for k, v in collated.items()}
-                    losses.append(float(eval_fn(self.state.params, batch)))
+                    flush(self.global_batch)
                     buf = []
+            if buf:
+                n = len(buf)
+                # Pad with label-masked copies: all-(-100) labels contribute
+                # zero targets, so the batch loss covers the real items only.
+                masked = [
+                    {**buf[j % n], "labels": np.full_like(buf[j % n]["labels"], -100)}
+                    for j in range(n, self.global_batch)
+                ]
+                buf = buf + masked
+                flush(n)
         mean = float(np.mean(losses)) if losses else float("nan")
         logger.info("eval_loss %.4f", mean)
         return mean

@@ -72,3 +72,21 @@ def test_reference_checkpoint_interop(tmp_path):
         )
     # the torch reference accepts the round-tripped tensors
     t_model.load_state_dict({k: torch.from_numpy(np.array(v)) for k, v in sd.items()})
+
+
+def test_forward_label_free_hits_jit_cache():
+    """Repeated label-free forward() calls reuse ONE compiled program
+    (round 1 rebuilt jax.jit per call — a recompile every call)."""
+    import jax
+    import numpy as np
+    from csm_tpu.config import CSMConfig
+    from csm_tpu.model_api import CSMModel
+
+    model = CSMModel(CSMConfig.tiny())
+    ids = np.zeros((1, 4, 33), np.int32)
+    mask = np.ones((1, 4, 33), np.float32)
+    with jax.log_compiles(False):
+        model.forward(ids, mask)
+        model.forward(ids, mask)
+        model.forward(ids, mask)
+    assert model._fwd_nolabels._cache_size() == 1

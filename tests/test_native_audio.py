@@ -82,3 +82,202 @@ def test_resample_preserves_tone():
     down = native.resample_poly(tone, 48000, 24000)
     spec = np.abs(np.fft.rfft(down))
     assert abs(np.argmax(spec) * 24000 / len(down) - 440) < 2
+
+
+# ---------------------------------------------------------------------------
+# Compressed containers: FLAC (from-scratch decoder) + MP3 (libmpg123)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits = []
+
+    def w(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def ws(self, value, nbits):  # signed two's complement
+        self.w(value & ((1 << nbits) - 1), nbits)
+
+    def unary(self, q):
+        self.bits.extend([0] * q + [1])
+
+    def align(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _rice_residual(w, residuals, param):
+    w.w(0, 2)        # method: 4-bit rice
+    w.w(0, 4)        # partition order 0
+    w.w(param, 4)
+    for r in residuals:
+        u = (r << 1) ^ (r >> 63) if r >= 0 else (-r << 1) - 1
+        u = (2 * r) if r >= 0 else (-2 * r - 1)
+        w.unary(u >> param)
+        w.w(u & ((1 << param) - 1), param)
+
+
+def _encode_flac(samples_by_channel, rate, subframe_type="verbatim"):
+    """Minimal FLAC encoder for decoder testing: 16-bit, independent
+    channels, one frame; verbatim / fixed-order-1 / lpc-order-1 subframes."""
+    chans = samples_by_channel
+    ch = len(chans)
+    n = len(chans[0])
+    bps = 16
+
+    out = bytearray(b"fLaC")
+    si = _BitWriter()
+    si.w(n, 16); si.w(n, 16)          # min/max blocksize
+    si.w(0, 24); si.w(0, 24)          # min/max framesize
+    si.w(rate, 20)
+    si.w(ch - 1, 3)
+    si.w(bps - 1, 5)
+    si.w(n, 36)                       # total samples
+    body = si.bytes() + b"\x00" * 16  # MD5
+    out += bytes([0x80, 0, 0, len(body)]) + body
+
+    f = _BitWriter()
+    f.w(0x3FFE, 14)   # sync
+    f.w(0, 1); f.w(0, 1)
+    f.w(7, 4)         # blocksize: 16-bit field
+    f.w(0, 4)         # sample rate: from STREAMINFO
+    f.w(ch - 1, 4)    # independent channels
+    f.w(4, 3)         # 16-bit samples
+    f.w(0, 1)
+    f.w(0, 8)         # UTF-8 frame number 0
+    f.w(n - 1, 16)    # blocksize-1
+    f.w(0, 8)         # header CRC (decoder does not verify)
+    for x in chans:
+        f.w(0, 1)  # pad
+        if subframe_type == "verbatim":
+            f.w(1, 6)
+            f.w(0, 1)  # no wasted bits
+            for v in x:
+                f.ws(int(v), bps)
+        elif subframe_type == "fixed1":
+            f.w(9, 6)  # FIXED order 1
+            f.w(0, 1)
+            f.ws(int(x[0]), bps)
+            _rice_residual(f, [int(x[i]) - int(x[i - 1]) for i in range(1, n)], 6)
+        elif subframe_type == "lpc1":
+            f.w(32, 6)  # LPC order 1
+            f.w(0, 1)
+            f.ws(int(x[0]), bps)
+            f.w(14, 4)   # precision 15
+            f.ws(0, 5)   # shift 0
+            f.ws(1, 15)  # coefficient 1 -> predictor == fixed order 1
+            _rice_residual(f, [int(x[i]) - int(x[i - 1]) for i in range(1, n)], 6)
+    f.align()
+    f.w(0, 16)  # frame CRC (decoder does not verify)
+    out += f.bytes()
+    return bytes(out)
+
+
+@pytest.mark.parametrize("subframe", ["verbatim", "fixed1", "lpc1"])
+@pytest.mark.parametrize("ch", [1, 2])
+def test_flac_decode(tmp_path, subframe, ch):
+    from csm_tpu import native
+    from csm_tpu.data.audio_io import load_audio
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(0)
+    n = 512
+    chans = [
+        (np.cumsum(rng.integers(-80, 81, n))).astype(np.int64).clip(-32768, 32767)
+        for _ in range(ch)
+    ]
+    path = tmp_path / f"t_{subframe}_{ch}.flac"
+    path.write_bytes(_encode_flac(chans, 24000, subframe))
+
+    wave, rate = load_audio(str(path))
+    assert rate == 24000
+    assert wave.shape == (ch, n)
+    for c in range(ch):
+        np.testing.assert_allclose(
+            wave[c], np.asarray(chans[c], np.float32) / 32768.0, atol=1e-7
+        )
+
+
+def _encode_mp3_lame(path, pcm16, rate):
+    """Encode mono int16 PCM with the system libmp3lame via ctypes."""
+    import ctypes
+
+    lame = None
+    for name in ("libmp3lame.so.0", "libmp3lame.so"):
+        try:
+            lame = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lame is None:
+        pytest.skip("libmp3lame unavailable")
+    lame.lame_init.restype = ctypes.c_void_p
+    gf = ctypes.c_void_p(lame.lame_init())
+    lame.lame_set_in_samplerate(gf, rate)
+    lame.lame_set_num_channels(gf, 1)
+    lame.lame_set_mode(gf, 3)  # mono
+    lame.lame_set_brate(gf, 64)
+    assert lame.lame_init_params(gf) >= 0
+    buf = (ctypes.c_ubyte * (len(pcm16) * 2 + 7200))()
+    p = pcm16.ctypes.data_as(ctypes.POINTER(ctypes.c_short))
+    nw = lame.lame_encode_buffer(gf, p, p, len(pcm16), buf, len(buf))
+    assert nw >= 0
+    out = bytes(buf[:nw])
+    nw = lame.lame_encode_flush(gf, buf, len(buf))
+    out += bytes(buf[:nw])
+    lame.lame_close(gf)
+    with open(path, "wb") as fh:
+        fh.write(out)
+
+
+def test_mp3_decode(tmp_path):
+    from csm_tpu import native
+    from csm_tpu.data.audio_io import load_audio
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rate, n, freq = 24000, 24000, 440.0
+    t = np.arange(n) / rate
+    sig = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    path = tmp_path / "t.mp3"
+    _encode_mp3_lame(str(path), sig, rate)
+
+    wave, got_rate = load_audio(str(path))
+    assert got_rate == rate
+    mono = wave[0]
+    # MP3 is lossy with encoder delay/padding (lame pads ~0.5 s): check the
+    # length is in the right ballpark and the dominant frequency matches.
+    assert n <= mono.shape[0] < 2 * n
+    spec = np.abs(np.fft.rfft(mono * np.hanning(len(mono))))
+    peak_hz = np.argmax(spec) * got_rate / len(mono)
+    assert abs(peak_hz - freq) < 5.0
+
+
+def test_dataset_loads_non_wav(tmp_path):
+    """End-to-end: the data pipeline reads a FLAC clip (VERDICT item 7 —
+    reference training data is anything torchaudio loads)."""
+    from csm_tpu import native
+    from csm_tpu.data.audio_io import load_audio_mono
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(1)
+    n = 2400
+    x = np.cumsum(rng.integers(-60, 61, n)).clip(-32768, 32767).astype(np.int64)
+    path = tmp_path / "clip.flac"
+    path.write_bytes(_encode_flac([x], 48000, "fixed1"))
+    wave = load_audio_mono(str(path), 24000)  # decode + resample 48k->24k
+    assert wave.shape[0] == n // 2
+    assert np.isfinite(wave).all()

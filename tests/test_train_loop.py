@@ -158,3 +158,87 @@ def test_resume_from_checkpoint(trainer_setup, tmp_path):
     np.testing.assert_allclose(
         np.asarray(trainer2.state.params["projection"]), trained_proj, rtol=1e-6
     )
+
+
+class CountingDataset(SyntheticDataset):
+    """Counts which indices were actually loaded."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.loaded = []
+
+    def __getitem__(self, idx):
+        self.loaded.append(idx)
+        return super().__getitem__(idx)
+
+
+def test_partial_accumulation_window_trained(trainer_setup, tmp_path):
+    """A trailing partial window is topped up and trained — every sample
+    contributes (HF no-drop-last semantics; round-1 dropped up to
+    eff_batch−1 items silently)."""
+    cfg, params, TA, CT, mm = trainer_setup
+    args = TA(
+        output_dir=str(tmp_path), save_strategy="no",
+        per_device_train_batch_size=1, gradient_accumulation_steps=2,
+        max_seq_length=16, mesh_data=2, mesh_model=1,
+    )
+    ds = CountingDataset(cfg, n=5, seq=12, epochs=1)  # 5 items, eff_batch 4
+    coll = CSMDataCollator(text_pad_token_id=0, pad_to_length=16)
+    trainer = CT(cfg, params, args, ds, data_collator=coll, mesh=mm(2, 1))
+    assert trainer.total_steps == 2  # ceil(5/4), not floor
+    trainer.train()
+    assert int(trainer.state.step) == 2
+    assert sorted(set(ds.loaded)) == [0, 1, 2, 3, 4]  # item 4 not dropped
+
+
+def test_resume_fast_forward_by_index(trainer_setup, tmp_path):
+    """Resume skips data by index math: items of completed steps are never
+    loaded (no replayed audio decode / Mimi encode)."""
+    cfg, params, TA, CT, mm = trainer_setup
+    trainer = _make_trainer(cfg, params, TA, CT, mm, tmp_path, data=2, model=1,
+                            epochs=2)
+    trainer.train()
+    trainer.save_checkpoint(1)
+
+    import jax
+    from csm_tpu.models import csm
+
+    args2 = TA(
+        output_dir=str(tmp_path), learning_rate=5e-3,
+        per_device_train_batch_size=1, gradient_accumulation_steps=2,
+        max_seq_length=16, save_strategy="no", mesh_data=2, mesh_model=1,
+        resume_from_checkpoint=True,
+    )
+    ds = CountingDataset(cfg, n=4, seq=12, epochs=2)  # 8 items, eff_batch 4
+    coll = CSMDataCollator(text_pad_token_id=0, pad_to_length=16)
+    fresh = csm.init_params(jax.random.key(0), cfg)
+    trainer2 = CT(cfg, fresh, args2, ds, data_collator=coll, mesh=mm(2, 1))
+    trainer2.train()
+    # Step 1 (items 0..3) was already done: none of them may be re-loaded.
+    assert min(ds.loaded) >= 4
+    assert int(trainer2.state.step) == 2
+
+
+def test_evaluate_partial_batch_counts_all_items(trainer_setup, tmp_path):
+    """evaluate() pads the trailing short batch with label-masked copies —
+    the final < global_batch items still contribute to eval_loss."""
+    cfg, params, TA, CT, mm = trainer_setup
+    args = TA(
+        output_dir=str(tmp_path), save_strategy="no",
+        per_device_train_batch_size=1, gradient_accumulation_steps=2,
+        max_seq_length=16, mesh_data=2, mesh_model=1,
+    )
+    train_ds = SyntheticDataset(cfg, n=4, seq=12, epochs=1)
+    eval_ds = SyntheticDataset(cfg, n=3, seq=12, epochs=1)  # 3 items, gb 2
+    coll = CSMDataCollator(text_pad_token_id=0, pad_to_length=16)
+    trainer = CT(cfg, params, args, train_ds, eval_dataset=eval_ds,
+                 data_collator=coll, mesh=mm(2, 1))
+    loss = trainer.evaluate()
+    assert np.isfinite(loss)
+    # A second run with only the first 2 items gives a DIFFERENT mean —
+    # i.e. the third item was not dropped.
+    eval_ds2 = SyntheticDataset(cfg, n=3, seq=12, epochs=1)
+    eval_ds2.data = eval_ds2.data[:2]
+    trainer.eval_dataset = eval_ds2
+    loss2 = trainer.evaluate()
+    assert abs(loss - loss2) > 1e-9

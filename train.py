@@ -58,7 +58,12 @@ def main(argv=None):
         amortization_ratio=data_args.amortization_ratio,
     )
 
-    dtype = jax.numpy.bfloat16 if training_args.bf16 else jax.numpy.float32
+    if training_args.bf16:
+        dtype = jax.numpy.bfloat16
+    elif training_args.fp16:
+        dtype = jax.numpy.float16
+    else:
+        dtype = jax.numpy.float32
     if model_args.model_name_or_path:
         logger.info("Loading model from %s", model_args.model_name_or_path)
         from csm_tpu.checkpoint import load_params_from_safetensors
@@ -89,9 +94,15 @@ def main(argv=None):
         else None
     )
 
+    # Length bucketing: pad to the next multiple of ``pad_to_multiple`` so a
+    # short-utterance dataset doesn't pay the full 2048-frame attention
+    # square every step; 0 falls back to a single max_seq_length bucket.
     collator = CSMDataCollator(
         text_pad_token_id=text_tokenizer.eos_token_id,
-        pad_to_length=training_args.max_seq_length,
+        pad_to_multiple=training_args.pad_to_multiple or 0,
+        pad_to_length=(
+            None if training_args.pad_to_multiple else training_args.max_seq_length
+        ),
     )
 
     trainer = CSMTrainer(
