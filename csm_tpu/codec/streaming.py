@@ -103,12 +103,37 @@ def _stream_conv_transpose(x, w, b, spec: ConvSpec, tail):
 # ---------------------------------------------------------------------------
 
 
+_ROPE_TABLE_POS = 8192  # streaming RoPE table length; rebased before hit
+
+
+def _rebase_rotation(cfg: MimiCodecConfig, delta: int):
+    """Constant ``(cos, sin)`` of ``-delta * inv_freq`` (float64 at trace
+    time, HF duplicated layout) — rotating a cached key by this shifts its
+    RoPE phase back by exactly ``delta`` positions."""
+    inv_freq = 1.0 / (
+        np.float64(cfg.rope_theta)
+        ** (np.arange(0, cfg.head_dim, 2, dtype=np.float64) / cfg.head_dim)
+    )
+    ang = -np.float64(delta) * inv_freq
+    emb = np.concatenate([ang, ang], axis=-1)
+    return (
+        jnp.asarray(np.cos(emb), jnp.float32),
+        jnp.asarray(np.sin(emb), jnp.float32),
+    )
+
+
 def _stream_transformer(cfg: MimiCodecConfig, params: dict, x, kv):
     """One cached transformer step over a ``[B, t, H]`` chunk.
 
     ``kv``: dict with ``k``/``v`` ``[L, B, W, nh, hd]`` shift buffers,
     ``valid`` ``[W]`` and ``pos`` scalar (absolute position of the chunk
     start).  Window ``W = cfg.sliding_window`` (or ``max_positions``).
+
+    Unbounded streams: the RoPE table covers ``_ROPE_TABLE_POS`` positions;
+    before the position would clamp, the state is **rebased** — cached keys
+    are rotated by a constant ``-delta`` phase (RoPE attention depends only
+    on relative position, and every live key sits within the ≤W window) and
+    ``pos`` shifts down.  Exact for streams of any length, always jittable.
     """
     B, t, H = x.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
@@ -119,9 +144,22 @@ def _stream_transformer(cfg: MimiCodecConfig, params: dict, x, kv):
             f"({W} slots, window {cfg.sliding_window}); "
             "increase max_chunk_frames in decode_state_init"
         )
+
+    max_pos = _ROPE_TABLE_POS
+    delta = max_pos // 2
+    cos_d, sin_d = _rebase_rotation(cfg, delta)
+
+    def rebase(kv):
+        k = kv["k"]
+        half = hd // 2
+        k1, k2 = k[..., :half], k[..., half:]
+        rot = jnp.concatenate([-k2, k1], axis=-1)
+        k_new = (k * cos_d + rot * sin_d).astype(k.dtype)
+        return {**kv, "k": k_new, "pos": kv["pos"] - delta}
+
+    kv = jax.lax.cond(kv["pos"] + t >= max_pos, rebase, lambda s: s, kv)
     pos0 = kv["pos"]
 
-    max_pos = 8000
     cos_t, sin_t = _codec_rope(cfg, max_pos)
     q_abs = pos0 + jnp.arange(t)
     cos_q = jnp.take(cos_t, q_abs, axis=0)[None]  # [1, t, hd]

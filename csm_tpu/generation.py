@@ -37,7 +37,21 @@ from csm_tpu.config import CSMConfig
 from csm_tpu.models import csm, llama
 from csm_tpu.models.llama import KVCache
 from csm_tpu.ops.rope import compute_rope_table
-from csm_tpu.ops.sampling import sample_topk
+from csm_tpu.ops.sampling import sample_topk, sample_topk_batch
+
+
+def _is_per_stream(rng) -> bool:
+    """A ``[B]`` key array selects per-stream RNG semantics (each stream's
+    draws depend only on its own key — solo/batched token parity)."""
+    return rng is not None and jnp.ndim(rng) > 0
+
+
+def _split_keys(rng):
+    """Split a scalar key or a ``[B]`` key array into (next, use)."""
+    if _is_per_stream(rng):
+        pair = jax.vmap(lambda k: jax.random.split(k))(rng)  # [B, 2]
+        return pair[:, 0], pair[:, 1]
+    return jax.random.split(rng)
 
 
 # ---------------------------------------------------------------------------
@@ -101,7 +115,8 @@ def decode_frame(
         from csm_tpu.ops.fused_decoder import decode_frame_fused
 
         return decode_frame_fused(
-            params, qdec, config, last_h, c0_logits, rng,
+            params, qdec, config,
+            last_h, c0_logits, rng[0] if _is_per_stream(rng) else rng,
             temperature, topk, greedy,
         )
     N = config.audio_num_codebooks
@@ -109,9 +124,15 @@ def decode_frame(
 
     if rng is None:
         rng = jax.random.key(0)
-    keys = jax.random.split(rng, N)
+    if _is_per_stream(rng):
+        keys = jax.vmap(lambda k: jax.random.split(k, N))(rng)  # [B, N]
+        keys = jnp.swapaxes(keys, 0, 1)  # [N, B]
+        draw = lambda ks, lg: sample_topk_batch(ks, lg, topk, temperature, greedy)
+    else:
+        keys = jax.random.split(rng, N)
+        draw = lambda k, lg: sample_topk(k, lg, topk, temperature, greedy)
 
-    c0 = sample_topk(keys[0], c0_logits, topk, temperature, greedy)  # [B]
+    c0 = draw(keys[0], c0_logits)  # [B]
     c0_embed = csm.embed_audio(params, config, 0, c0)  # [B, D]
 
     dec_cache = KVCache.create(
@@ -124,7 +145,7 @@ def decode_frame(
         h_last, dec_cache = carry
         head_i, offset, pos, key = xs
         ci_logits = h_last @ head_i  # [B, Va]
-        ci = sample_topk(key, ci_logits, topk, temperature, greedy)  # [B]
+        ci = draw(key, ci_logits)  # [B]
         ci_embed = jnp.take(params["audio_embeddings"], ci + offset, axis=0)
         h_next, dec_cache = _decoder_step(
             params, config, (ci_embed @ proj)[:, None, :], pos, dec_cache
@@ -143,7 +164,7 @@ def decode_frame(
     (h_last, _), mid = jax.lax.scan(body, (h_last, dec_cache), xs)
 
     c_last_logits = h_last @ params["audio_head"][N - 2]
-    c_last = sample_topk(keys[N - 1], c_last_logits, topk, temperature, greedy)
+    c_last = draw(keys[N - 1], c_last_logits)
 
     return jnp.concatenate(
         [c0[:, None], mid.T.astype(jnp.int32), c_last[:, None]], axis=1
@@ -250,7 +271,7 @@ def generate_compiled(
     dtype = params["backbone"]["final_norm"].dtype
 
     cache = KVCache.create(config.backbone, B, cache_len, dtype=dtype)
-    rng, k0 = jax.random.split(rng)
+    rng, k0 = _split_keys(rng)
     out = generate_frame(
         params, config, input_ids, attention_mask,
         cache=cache, rng=k0, temperature=temperature, topk=topk, greedy=greedy,
@@ -292,7 +313,7 @@ def generate_compiled(
     def body(carry):
         step, done, n_frames, frames_buf, prev_frame, cache, rng = carry
         ids, mask = _next_frame_inputs(config, prev_frame)
-        rng, k = jax.random.split(rng)
+        rng, k = _split_keys(rng)
         out = generate_frame(
             params, config, ids, mask,
             cache=cache, rng=k, temperature=temperature, topk=topk, greedy=greedy,

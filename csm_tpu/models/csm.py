@@ -228,13 +228,20 @@ def backbone_forward(
         return hidden, None
 
     # Cached path: write this chunk's validity into the cache window, then
-    # attend over the full static window.
-    start = cache.index
+    # attend over the full static window.  ``cache.index`` may be a scalar
+    # (all streams aligned) or a per-stream ``[B]`` vector (continuous
+    # batching: each serving slot at its own depth).
+    start = jnp.asarray(cache.index)
     if positions is None:
         positions = jnp.broadcast_to(
-            start + jnp.arange(S, dtype=jnp.int32), (B, S)
+            start.reshape(-1, 1) + jnp.arange(S, dtype=jnp.int32), (B, S)
         )
-    key_valid = jax.lax.dynamic_update_slice(cache.valid, frame_valid, (0, start))
+    if start.ndim == 0:
+        key_valid = jax.lax.dynamic_update_slice(cache.valid, frame_valid, (0, start))
+    else:
+        key_valid = jax.vmap(
+            lambda v, f, s: jax.lax.dynamic_update_slice(v, f, (s,))
+        )(cache.valid, frame_valid, start)
     cache = cache.replace(valid=key_valid)
     if flash_prefill and flash_eligible(S, cache.max_len, hd):
         bias, flash_valid = None, key_valid

@@ -100,7 +100,7 @@ class KVCache:
     k: jnp.ndarray
     v: jnp.ndarray
     valid: jnp.ndarray
-    index: jnp.ndarray
+    index: jnp.ndarray  # scalar, or [B] for per-stream (ragged) windows
 
     @classmethod
     def create(
@@ -206,8 +206,17 @@ def _layer(
 
     if cache_kv is not None:
         ck, cv = cache_kv  # [B, max_len, nkv, hd]
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, cache_index, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, cache_index, 0, 0))
+        idx = jnp.asarray(cache_index)
+        if idx.ndim == 0:
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, idx, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, idx, 0, 0))
+        else:
+            # Per-stream write positions (ragged serving slots).
+            upd = jax.vmap(
+                lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (i, 0, 0))
+            )
+            ck = upd(ck, k.astype(ck.dtype), idx)
+            cv = upd(cv, v.astype(cv.dtype), idx)
         attn = attend(ck, cv)
         new_cache = (ck, cv)
     else:
@@ -234,13 +243,18 @@ def make_causal_bias(
     ``key_valid``: ``[B, T]`` — usable key positions (excludes padding and
     unwritten cache slots).  Causality: query at absolute position
     ``q_offset + s`` may attend to key positions ``<= q_offset + s`` (cache
-    layouts are position-ordered).
+    layouts are position-ordered).  ``q_offset`` may be a scalar or a
+    per-stream ``[B]`` vector (continuous-batching serving, where each slot
+    sits at its own depth).
     """
     B, T = key_valid.shape
-    q_pos = q_offset + jnp.arange(q_len)[:, None]  # [q_len, 1]
-    k_pos = jnp.arange(T)[None, :]  # [1, T]
-    causal = k_pos <= q_pos  # [q_len, T]
-    ok = causal[None] & key_valid[:, None, :]  # [B, q_len, T]
+    q_off = jnp.asarray(q_offset)
+    if q_off.ndim == 0:
+        q_off = q_off[None]  # broadcast over B
+    q_pos = q_off[:, None, None] + jnp.arange(q_len)[None, :, None]  # [B|1,q,1]
+    k_pos = jnp.arange(T)[None, None, :]  # [1, 1, T]
+    causal = k_pos <= q_pos  # [B|1, q_len, T]
+    ok = causal & key_valid[:, None, :]  # [B, q_len, T]
     return jnp.where(ok, 0.0, NEG_INF)[:, None, None, :, :]
 
 

@@ -68,3 +68,24 @@ def sample_topk(
     filtered = sample_topk_logits(logits, topk, temperature)
     gumbel = jax.random.gumbel(key, filtered.shape, jnp.float32)
     return jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
+
+
+def sample_topk_batch(
+    keys: jax.Array,  # [B] PRNG keys
+    logits: jnp.ndarray,  # [B, vocab]
+    topk: int,
+    temperature: float | jnp.ndarray,
+    greedy: bool = False,
+) -> jnp.ndarray:
+    """Per-stream draws: row ``b`` consumes ONLY ``keys[b]`` and is bitwise
+    identical to a standalone ``sample_topk(keys[b], logits[b:b+1], ...)``
+    call.  This is what makes continuously-batched serving reproduce each
+    request's solo token stream (the joint-key form cannot: its noise for
+    row ``b`` depends on the batch size and position)."""
+    if greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def one(k, row):
+        return sample_topk(k, row[None, :], topk, temperature, False)[0]
+
+    return jax.vmap(one)(keys, logits)

@@ -152,3 +152,198 @@ class CSMStreamer:
             if emitted >= max_new_frames:
                 break
             frame = self.step()
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching
+# ---------------------------------------------------------------------------
+
+
+class CSMServer:
+    """Slot-based continuous batching over a fixed decode batch.
+
+    A capability superset of the reference's inference entry point
+    (``/root/reference/README.md:102-118``): ``n_slots`` streams decode in
+    lockstep as ONE ``[B, 1, 33]`` jitted step; new requests are admitted
+    into freed slots **mid-flight** with ragged prompt lengths.  Admission
+    prefetches the prompt through a B=1 prefill program and scatters its
+    K/V rows + validity + write index into the shared cache, so running
+    streams are untouched.
+
+    TPU design points:
+    - the shared ``KVCache`` carries a per-slot ``index`` **vector** — each
+      slot sits at its own depth in the static window (ragged batching with
+      zero dynamic shapes);
+    - per-slot PRNG key streams and per-stream sampling
+      (:func:`csm_tpu.ops.sampling.sample_topk_batch`) make every request's
+      token stream equal to its solo run — batch composition cannot change
+      outputs (token-for-token, greedy or sampled);
+    - finished slots keep stepping on garbage (their writes land in a slot
+      that admission fully overwrites) — the batch shape never changes, so
+      there is exactly one compiled step program.
+    """
+
+    def __init__(
+        self,
+        params: dict,
+        config: CSMConfig,
+        n_slots: int = 8,
+        window: int = 1024,
+        temperature: float = 1.0,
+        topk: int = 50,
+        greedy: bool = False,
+        stop_on_all_zeros: bool = True,
+        max_new_frames: int = 100,
+    ):
+        self.params = params
+        self.config = config
+        self.n_slots = n_slots
+        self.window = ((min(window, config.max_seq_len) + 63) // 64) * 64
+        self.stop_on_all_zeros = stop_on_all_zeros
+        self.default_max_new_frames = max_new_frames
+
+        self._prefill = jax.jit(
+            lambda p, ids, mask, tl, cache, keys: generate_frame(
+                p, config, ids, mask, cache=cache, rng=keys,
+                temperature=temperature, topk=topk, greedy=greedy,
+                true_len=tl, flash_prefill=True,
+            )
+        )
+        self._step = jax.jit(
+            lambda p, ids, mask, cache, keys: generate_frame(
+                p, config, ids, mask, cache=cache, rng=keys,
+                temperature=temperature, topk=topk, greedy=greedy,
+            )
+        )
+
+        def _admit(cache, small, slot, true_len, rngs, key, frame, frames):
+            k = jax.lax.dynamic_update_slice(cache.k, small.k, (0, slot, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache.v, small.v, (0, slot, 0, 0, 0))
+            valid = jax.lax.dynamic_update_slice(cache.valid, small.valid, (slot, 0))
+            index = cache.index.at[slot].set(true_len)
+            cache = cache.replace(k=k, v=v, valid=valid, index=index)
+            rngs = rngs.at[slot].set(key)
+            frames = jax.lax.dynamic_update_slice(frames, frame, (slot, 0))
+            return cache, rngs, frames
+
+        self._admit = jax.jit(_admit, donate_argnums=(0, 4, 7))
+
+        dtype = params["backbone"]["final_norm"].dtype
+        cache = KVCache.create(config.backbone, n_slots, self.window, dtype=dtype)
+        self.cache = cache.replace(index=jnp.zeros((n_slots,), jnp.int32))
+        self._rngs = jax.random.split(jax.random.key(0), n_slots)
+        self._last = jnp.zeros((n_slots, config.audio_num_codebooks), jnp.int32)
+
+        self._slot_req = [None] * n_slots  # request id per slot
+        self._depth = np.zeros(n_slots, np.int64)  # host mirror of index
+        self._budget = np.zeros(n_slots, np.int64)
+        self._pending: list = []
+        self._next_id = 0
+        self.results: dict = {}
+        self._frames: dict = {}
+
+    # ------------------------------------------------------------------
+
+    @property
+    def active_slots(self):
+        return [s for s in range(self.n_slots) if self._slot_req[s] is not None]
+
+    def submit(self, input_ids, attention_mask, rng=None,
+               max_new_frames: Optional[int] = None) -> int:
+        """Queue a request; admit it immediately if a slot is free.
+        Returns the request id (key into :attr:`results` when finished)."""
+        rid = self._next_id
+        self._next_id += 1
+        if rng is None:
+            rng = jax.random.key(1000 + rid)
+        self._pending.append((
+            rid, np.asarray(input_ids), np.asarray(attention_mask, np.float32),
+            rng, max_new_frames or self.default_max_new_frames,
+        ))
+        self._drain_pending()
+        return rid
+
+    def _drain_pending(self):
+        while self._pending:
+            free = [s for s in range(self.n_slots) if self._slot_req[s] is None]
+            if not free:
+                return
+            rid, ids, mask, rng, budget = self._pending.pop(0)
+            self._admit_request(free[0], rid, ids, mask, rng, budget)
+
+    def _admit_request(self, slot, rid, ids, mask, rng, budget):
+        B, S, W = ids.shape
+        assert B == 1, "submit one conversation per request"
+        Sb = _bucket(S, buckets=(32, 64, 128, 256, 512, 1024, 2048))
+        Sb = min(Sb, self.window)
+        if S > self.window:
+            raise ValueError(f"prompt ({S}) exceeds the serving window ({self.window})")
+        if Sb > S:
+            ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], 1)
+            mask = np.concatenate([mask, np.zeros((B, Sb - S, W), mask.dtype)], 1)
+
+        dtype = self.params["backbone"]["final_norm"].dtype
+        small = KVCache.create(self.config.backbone, 1, self.window, dtype=dtype)
+        # Same key schedule as a solo generate_compiled(rng=[key]) run.
+        pair = jax.random.split(rng)
+        rng, k0 = pair[0], pair[1]
+        out = self._prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
+            small, k0[None],
+        )
+
+        self.cache, self._rngs, self._last = self._admit(
+            self.cache, out.cache, slot, jnp.int32(S),
+            self._rngs, rng, out.samples, self._last,
+        )
+        self._slot_req[slot] = rid
+        self._depth[slot] = S
+        self._budget[slot] = budget
+        self._frames[rid] = []
+        self._observe(slot, np.asarray(out.samples)[0])
+
+    def _observe(self, slot, frame: np.ndarray):
+        rid = self._slot_req[slot]
+        stopped = self.stop_on_all_zeros and not frame.any()
+        if not stopped:
+            self._frames[rid].append(frame.copy())
+            self._budget[slot] -= 1
+            self._depth[slot] += 1
+        if stopped or self._budget[slot] <= 0 or self._depth[slot] >= self.window:
+            self._finish(slot)
+
+    def _finish(self, slot):
+        rid = self._slot_req[slot]
+        frames = self._frames.pop(rid)
+        self.results[rid] = (
+            np.stack(frames) if frames
+            else np.zeros((0, self.config.audio_num_codebooks), np.int64)
+        )
+        self._slot_req[slot] = None
+        self._drain_pending()
+
+    def step(self) -> bool:
+        """Advance every live stream by one frame.  Returns False when no
+        requests are active or pending."""
+        if not self.active_slots:
+            self._drain_pending()
+            if not self.active_slots:
+                return False
+        active_before = list(self.active_slots)
+        ids, mask = _next_frame_inputs(self.config, self._last)
+        pair = jax.vmap(jax.random.split)(self._rngs)  # [B, 2]
+        self._rngs = pair[:, 0]
+        out = self._step(self.params, ids, mask, self.cache, pair[:, 1])
+        self.cache = out.cache
+        self._last = out.samples
+        frames = np.asarray(out.samples)
+        for s in active_before:
+            self._observe(s, frames[s])
+        return bool(self.active_slots or self._pending)
+
+    def run_until_idle(self, max_steps: int = 10_000) -> dict:
+        """Drive step() until every submitted request has finished."""
+        for _ in range(max_steps):
+            if not self.step():
+                break
+        return self.results

@@ -100,3 +100,47 @@ def test_streaming_encode_chunk_alignment_error(mimi_pair):
     enc = StreamingMimiEncoder(codec)
     with pytest.raises(ValueError, match="frame_size"):
         enc.feed(np.zeros((1, 1, cfg.frame_size + 3), np.float32))
+
+
+def test_streaming_rope_rebase_long_stream(mimi_pair):
+    """Past _ROPE_TABLE_POS transformer steps the state is rebased (cached
+    keys rotated by a constant phase); outputs must be unchanged — the
+    guarantee that exact chunked decode holds for unboundedly long streams
+    (round-1 silently clamped positions after 8000 steps)."""
+    import jax.numpy as jnp
+
+    from csm_tpu.codec import streaming as S
+    from csm_tpu.codec import MimiCodec
+
+    cfg, _, params = mimi_pair
+    codec = MimiCodec(cfg, params)
+    rng = np.random.default_rng(5)
+    warm = rng.integers(0, cfg.codebook_size, (1, cfg.num_quantizers, 3))
+    probe = rng.integers(0, cfg.codebook_size, (1, cfg.num_quantizers, 2))
+
+    dec = StreamingMimiDecoder(codec, batch=1)
+    dec.feed(warm)
+    state_lo = dec.state
+
+    # Shift the same state to just under the table limit: advance pos and
+    # rotate cached keys forward by the same D (RoPE phases stay coherent).
+    kv = state_lo["kv"]
+    pos = int(kv["pos"])
+    D = S._ROPE_TABLE_POS - pos - 1
+    cos_d, sin_d = S._rebase_rotation(cfg, -D)  # +D phase
+    k = kv["k"]
+    half = cfg.head_dim // 2
+    rot = jnp.concatenate([-k[..., half:], k[..., :half]], axis=-1)
+    kv_hi = {**kv, "k": (k * cos_d + rot * sin_d).astype(k.dtype),
+             "pos": kv["pos"] + D}
+    state_hi = {**state_lo, "kv": kv_hi}
+
+    out_lo, new_lo = S.decode_step(cfg, codec.params, state_lo, jnp.asarray(probe))
+    out_hi, new_hi = S.decode_step(cfg, codec.params, state_hi, jnp.asarray(probe))
+
+    # The hi path crossed the limit -> it was rebased mid-step...
+    assert int(new_hi["kv"]["pos"]) == int(new_lo["kv"]["pos"]) + D - S._ROPE_TABLE_POS // 2
+    # ...and produced the same audio.
+    np.testing.assert_allclose(
+        np.asarray(out_hi), np.asarray(out_lo), rtol=2e-3, atol=2e-4
+    )

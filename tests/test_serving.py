@@ -102,3 +102,91 @@ def test_streamer_emits_audio_chunks(model):
     full = codec.decode(codes)
     streamed = np.concatenate([c[0] for c in chunks])
     np.testing.assert_allclose(streamed, full, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Continuous batching (CSMServer)
+# ---------------------------------------------------------------------------
+
+
+def _prompt(cfg, S, seed):
+    rng = np.random.default_rng(seed)
+    ids = np.zeros((1, S, cfg.frame_width), np.int32)
+    ids[..., -1] = rng.integers(1, cfg.text_vocab_size, (1, S))
+    mask = np.zeros((1, S, cfg.frame_width), np.float32)
+    mask[..., -1] = 1.0
+    return ids, mask
+
+
+def _solo(params, cfg, ids, mask, key, budget, greedy):
+    """Reference solo run with per-stream RNG (the server's key schedule)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.generation import generate_compiled
+
+    frames, n = generate_compiled(
+        params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+        jnp.int32(ids.shape[1]), key[None],
+        max_new_frames=budget, temperature=0.9, topk=5, greedy=greedy,
+        stop_on_all_zeros=True, stop_mode="stream", cache_len=64,
+    )
+    return np.asarray(frames)[0, : int(np.asarray(n)[0])]
+
+
+@pytest.mark.parametrize("greedy", [True, False])
+def test_continuous_batching_matches_solo(greedy):
+    """Stream B joins mid-flight of stream A; both match their solo runs
+    token-for-token (greedy AND sampled — per-stream RNG keying)."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    budget = 5
+
+    server = CSMServer(
+        params, cfg, n_slots=3, window=64,
+        temperature=0.9, topk=5, greedy=greedy, max_new_frames=budget,
+    )
+    ids_a, mask_a = _prompt(cfg, 6, seed=1)
+    ids_b, mask_b = _prompt(cfg, 9, seed=2)
+    key_a, key_b = jax.random.key(11), jax.random.key(22)
+
+    rid_a = server.submit(ids_a, mask_a, rng=key_a)
+    server.step()
+    server.step()  # A is 3 frames deep...
+    rid_b = server.submit(ids_b, mask_b, rng=key_b)  # ...when B joins
+    server.run_until_idle()
+
+    solo_a = _solo(params, cfg, ids_a, mask_a, key_a, budget, greedy)
+    solo_b = _solo(params, cfg, ids_b, mask_b, key_b, budget, greedy)
+    np.testing.assert_array_equal(server.results[rid_a], solo_a)
+    np.testing.assert_array_equal(server.results[rid_b], solo_b)
+
+
+def test_continuous_batching_queues_when_full():
+    """More requests than slots: the overflow request waits, is admitted
+    into the freed slot, and still matches its solo output."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    budget = 3
+
+    server = CSMServer(params, cfg, n_slots=2, window=64, greedy=True,
+                       max_new_frames=budget)
+    keys = [jax.random.key(100 + i) for i in range(3)]
+    prompts = [_prompt(cfg, 4 + 3 * i, seed=10 + i) for i in range(3)]
+    rids = [server.submit(p[0], p[1], rng=k) for p, k in zip(prompts, keys)]
+    assert len(server.active_slots) == 2  # third is queued
+    server.run_until_idle()
+
+    for rid, (ids, mask), key in zip(rids, prompts, keys):
+        solo = _solo(params, cfg, ids, mask, key, budget, True)
+        np.testing.assert_array_equal(server.results[rid], solo)
