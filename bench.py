@@ -79,12 +79,15 @@ def main():
     # does not actually synchronize; only a host transfer is a true barrier.
     np.asarray(params["projection"])
 
-    qdec = None
+    qdec = qbb = None
     if args.impl == "fused" and jax.default_backend() != "cpu":
         from csm_tpu.ops.fused_decoder import prepare_fused_decoder
+        from csm_tpu.ops.quant import prepare_quantized_backbone
 
         qdec = jax.jit(lambda p: prepare_fused_decoder(p, config))(params)
+        qbb = jax.jit(lambda p: prepare_quantized_backbone(p, config))(params)
         np.asarray(qdec["s"]["wq"])
+        np.asarray(qbb["s"]["wq"])
 
     def prompt(batch):
         ids = np.zeros((batch, S, config.frame_width), np.int32)
@@ -98,7 +101,8 @@ def main():
         frames, n = generate_compiled(
             params, config, ids, mask, jnp.int32(S), key,
             max_new_frames=max_new_frames, temperature=1.0, topk=50,
-            greedy=False, stop_on_all_zeros=False, stop_mode="stream", qdec=q,
+            greedy=False, stop_on_all_zeros=False, stop_mode="stream",
+            qdec=q, qbb=qbb if q is not None else None,
         )
         np.asarray(frames)  # true sync barrier
         return int(np.asarray(n).sum())

@@ -190,6 +190,7 @@ def generate_frame(
     true_len: Optional[jnp.ndarray] = None,
     flash_prefill: bool = False,
     qdec: Optional[dict] = None,
+    qbb: Optional[dict] = None,
 ) -> csm.CSMOutput:
     """Generate one frame's 32 codebooks (reference
     ``generate_frame``, ``modeling_csm.py:484-589``).
@@ -201,7 +202,7 @@ def generate_frame(
     out = csm.forward(
         params, config, input_ids, attention_mask, cache=cache,
         last_index=None if true_len is None else true_len - 1,
-        flash_prefill=flash_prefill,
+        flash_prefill=flash_prefill, qbb=qbb,
     )
     new_cache = out.cache
     if new_cache is not None and true_len is not None:
@@ -254,6 +255,7 @@ def generate_compiled(
     stop_mode: str = "batch",
     cache_len: Optional[int] = None,
     qdec: Optional[dict] = None,
+    qbb: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-utterance generation as one device program: prefill + a
     ``while_loop`` of frame steps (reference loop: ``modeling_csm.py:640-690``).
@@ -314,10 +316,12 @@ def generate_compiled(
         step, done, n_frames, frames_buf, prev_frame, cache, rng = carry
         ids, mask = _next_frame_inputs(config, prev_frame)
         rng, k = _split_keys(rng)
+        # Per-frame decode steps may use the W8A8 backbone (the prefill above
+        # stays bf16 — prompt conditioning keeps full precision).
         out = generate_frame(
             params, config, ids, mask,
             cache=cache, rng=k, temperature=temperature, topk=topk, greedy=greedy,
-            qdec=qdec,
+            qdec=qdec, qbb=qbb,
         )
         done, n_frames, frames_buf = process(
             out.samples, done, n_frames, frames_buf, step
@@ -351,6 +355,7 @@ def generate(
     greedy: bool = False,
     stop_mode: str = "batch",
     qdec: Optional[dict] = None,
+    qbb: Optional[dict] = None,
 ):
     """Reference-compatible ``generate`` (``modeling_csm.py:591-702``):
     returns ``[B, n_frames, 32]`` (possibly ``[B, 0, 32]``).
@@ -378,7 +383,7 @@ def generate(
         jnp.int32(S), rng,
         max_new_frames=max_new_frames, temperature=temperature, topk=topk,
         greedy=greedy, stop_on_all_zeros=stop_on_all_zeros, stop_mode=stop_mode,
-        qdec=qdec,
+        qdec=qdec, qbb=qbb,
     )
     n = int(np.max(np.asarray(n_frames))) if stop_mode == "stream" else int(n_frames[0])
     return np.asarray(frames)[:, :n, :]

@@ -189,8 +189,12 @@ def backbone_forward(
     cache: Optional[KVCache] = None,
     positions: Optional[jnp.ndarray] = None,
     flash_prefill: bool = False,
+    qbb: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Embed-sum + backbone stack.  Returns full hidden ``[B, S, D]``.
+
+    ``qbb``: int8 backbone weights (:mod:`csm_tpu.ops.quant`) — the W8A8
+    decode-step path (callers pass it for per-frame steps, not prefill).
 
     Per-frame attention validity is the collapsed 33-token mask
     ``any(mask) > 0`` (``modeling_csm.py:337-342``).  Positions default to
@@ -223,7 +227,7 @@ def backbone_forward(
         hidden, _ = llama.forward(
             params["backbone"], config.backbone, h,
             rope_table=rope, positions=positions, attn_bias=bias, cache=None,
-            flash_key_valid=flash_valid,
+            flash_key_valid=flash_valid, qlayers=qbb,
         )
         return hidden, None
 
@@ -250,7 +254,7 @@ def backbone_forward(
     hidden, new_cache = llama.forward(
         params["backbone"], config.backbone, h,
         rope_table=rope, positions=positions, attn_bias=bias, cache=cache,
-        flash_key_valid=flash_valid,
+        flash_key_valid=flash_valid, qlayers=qbb,
     )
     return hidden, new_cache
 
@@ -279,6 +283,7 @@ def forward(
     return_all_logits: bool = False,
     last_index: Optional[jnp.ndarray] = None,
     flash_prefill: bool = False,
+    qbb: Optional[dict] = None,
 ) -> CSMOutput:
     """Full forward pass with optional training losses
     (``modeling_csm.py:292-482``).
@@ -296,7 +301,7 @@ def forward(
 
     hidden, new_cache = backbone_forward(
         params, config, input_ids, attention_mask, cache=cache,
-        positions=positions, flash_prefill=flash_prefill,
+        positions=positions, flash_prefill=flash_prefill, qbb=qbb,
     )
 
     head = params["codebook0_head"]

@@ -172,6 +172,7 @@ def _layer(
     cache_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     cache_index: Optional[jnp.ndarray] = None,
     flash_key_valid: Optional[jnp.ndarray] = None,
+    qlayer: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One pre-norm transformer block.  If ``cache_kv`` is given, the new K/V
     rows are written at ``cache_index`` and attention runs over the full
@@ -180,14 +181,27 @@ def _layer(
     ``flash_key_valid`` selects the Pallas flash kernel (queries assumed to
     start at absolute position 0 — prefill/training) instead of the
     bias-masked XLA path.
+
+    ``qlayer``: this layer's int8 weights+scales
+    (:mod:`csm_tpu.ops.quant`); when given, the seven matmuls run W8A8 on
+    the int8 MXU path — half the HBM weight traffic of bf16.
     """
     B, S, D = h.shape
     nq, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
 
+    if qlayer is not None:
+        from csm_tpu.ops.quant import qmm
+
+        def mm(x, name):
+            return qmm(x, qlayer["w"][name], qlayer["s"][name]).astype(h.dtype)
+    else:
+        def mm(x, name):
+            return x @ lp[name]
+
     x = rmsnorm(h, lp["attn_norm"], config.rms_norm_eps)
-    q = (x @ lp["wq"]).reshape(B, S, nq, hd)
-    k = (x @ lp["wk"]).reshape(B, S, nkv, hd)
-    v = (x @ lp["wv"]).reshape(B, S, nkv, hd)
+    q = mm(x, "wq").reshape(B, S, nq, hd)
+    k = mm(x, "wk").reshape(B, S, nkv, hd)
+    v = mm(x, "wv").reshape(B, S, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -223,10 +237,10 @@ def _layer(
         attn = attend(k, v)
         new_cache = (k, v)
 
-    h = h + attn @ lp["wo"]
+    h = h + mm(attn, "wo")
     x = rmsnorm(h, lp["mlp_norm"], config.rms_norm_eps)
-    gated = jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])
-    h = h + gated @ lp["w_down"]
+    gated = jax.nn.silu(mm(x, "w_gate")) * mm(x, "w_up")
+    h = h + mm(gated, "w_down")
     return h, new_cache
 
 
@@ -268,6 +282,7 @@ def forward(
     attn_bias: Optional[jnp.ndarray],  # [B, 1, 1, S, T] additive bias
     cache: Optional[KVCache] = None,
     flash_key_valid: Optional[jnp.ndarray] = None,  # [B, T] — flash path
+    qlayers: Optional[dict] = None,  # stacked int8 weights (ops.quant)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the full stack via ``lax.scan`` over layers.
 
@@ -287,25 +302,26 @@ def forward(
     layer_params = params["layers"]
 
     if cache is None:
-        def body(h, lp):
+        def body(h, xs):
+            lp, ql = xs
             h, _ = _layer(h, lp, cos, sin, attn_bias, config,
-                          flash_key_valid=flash_key_valid)
+                          flash_key_valid=flash_key_valid, qlayer=ql)
             return h, None
 
-        h, _ = jax.lax.scan(body, inputs_embeds, layer_params)
+        h, _ = jax.lax.scan(body, inputs_embeds, (layer_params, qlayers))
         new_cache = None
     else:
         def body(h, xs):
-            lp, ck, cv = xs
+            lp, ql, ck, cv = xs
             h, (nk, nv) = _layer(
                 h, lp, cos, sin, attn_bias, config,
                 cache_kv=(ck, cv), cache_index=cache.index,
-                flash_key_valid=flash_key_valid,
+                flash_key_valid=flash_key_valid, qlayer=ql,
             )
             return h, (nk, nv)
 
         h, (new_k, new_v) = jax.lax.scan(
-            body, inputs_embeds, (layer_params, cache.k, cache.v)
+            body, inputs_embeds, (layer_params, qlayers, cache.k, cache.v)
         )
         new_cache = dataclasses.replace(
             cache, k=new_k, v=new_v, index=cache.index + inputs_embeds.shape[1]

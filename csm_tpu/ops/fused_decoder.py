@@ -9,9 +9,10 @@ v5e's 819 GB/s.  This kernel loads the decoder ONCE per frame:
 
 - all decoder matmul weights are **int8 (symmetric, per-output-channel)** —
   ~106 MB, resident in VMEM (v5e has 128 MB) across all 31 steps;
-- matmuls run **W8A8**: activations are dynamically quantized per row and
-  multiplied on the MXU as int8×int8→int32 (2× the bf16 MXU rate), then
-  rescaled in fp32 — no dequantized weight copy is ever materialized;
+- matmuls run **W8A16**: bf16 activations against the int8 weights
+  directly on the MXU (the 8-bit operand expands in the pipe), fp32
+  accumulation, per-output-channel rescale — no dequantized weight copy is
+  ever materialized and no activation quantization error is introduced;
 - per-step ``audio_head`` slices (4.2 MB bf16) are double-buffered from HBM
   by async DMA, overlapped with the decoder forward;
 - sampled-token embeddings are fetched by data-dependent DMA from a
@@ -53,6 +54,9 @@ from csm_tpu.ops.sampling import sample_topk
 NEG_INF = -1e9
 
 _MATS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+# The kernel consumes the fused projections (QKV / gate-up concatenated);
+# the separate forms stay in the bundle for the emulator oracle.
+_KERNEL_MATS = ("wqkv", "wo", "w_gu", "w_down")
 
 
 # ---------------------------------------------------------------------------
@@ -88,6 +92,24 @@ def prepare_fused_decoder(params: dict, config: CSMConfig) -> dict:
         q, s = quantize_per_channel(dec[name])
         out["w"][name] = q
         out["s"][name] = s  # [L, 1, N]
+    # Fused projections: Q/K/V and gate/up concatenated on the output axis —
+    # one MXU dot each instead of 3 + 2.  Per-output-channel scales make the
+    # concatenation bit-identical to the separate matmuls (each column keeps
+    # its own scale), so the emulator's separate-matmul form stays an exact
+    # oracle.  The separate forms remain in the bundle for that oracle (HBM
+    # is plentiful; the kernel's VMEM only receives the fused forms).
+    out["w"]["wqkv"] = jnp.concatenate(
+        [out["w"]["wq"], out["w"]["wk"], out["w"]["wv"]], axis=-1
+    )
+    out["s"]["wqkv"] = jnp.concatenate(
+        [out["s"]["wq"], out["s"]["wk"], out["s"]["wv"]], axis=-1
+    )
+    out["w"]["w_gu"] = jnp.concatenate(
+        [out["w"]["w_gate"], out["w"]["w_up"]], axis=-1
+    )
+    out["s"]["w_gu"] = jnp.concatenate(
+        [out["s"]["w_gate"], out["s"]["w_up"]], axis=-1
+    )
     out["attn_norm"] = dec["attn_norm"].astype(jnp.float32)[:, None, :]
     out["mlp_norm"] = dec["mlp_norm"].astype(jnp.float32)[:, None, :]
     out["final_norm"] = params["decoder"]["final_norm"].astype(jnp.float32)[None, :]
@@ -123,15 +145,21 @@ def _rmsnorm_f32(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _qmm(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
-    """W8A8 matmul: dynamic per-row activation quant, int8×int8→int32 MXU,
-    fp32 rescale.  ``x [T,K] f32``, ``wq [K,N] int8``, ``s [1,N] f32``."""
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)  # [T, 1]
-    xs = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    """W8A16 matmul: bf16 activations × int8 weights directly on the MXU
+    (Mosaic expands the 8-bit operand in the pipe — int8 magnitudes ≤127
+    are exact in bf16, so this equals a bf16 matmul against the dequantized
+    weights), fp32 accumulation, per-output-channel rescale on the output.
+
+    Measured on one v5e this is the fastest serial-matvec form (~4.6 µs vs
+    ~9.3 µs for W8A8 with dynamic activation quant — the per-row abs-max /
+    round / clip chain sat on the dependency-critical path), and it has no
+    activation quantization error at all.  ``x [T,K] f32``, ``wq [K,N]``
+    int8, ``s [1,N] f32``."""
     acc = jax.lax.dot_general(
-        xq, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        x.astype(jnp.bfloat16), wq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    return acc.astype(jnp.float32) * xs * s
+    return acc * s
 
 
 def _rope_f32(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
@@ -192,7 +220,12 @@ def _sample_row(
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)
-    u = jax.lax.bitcast_convert_type(scaled, jnp.uint32)
+    # Select on the RAW logits (temperature scaling is monotonic, so the
+    # top-k set is identical).  The logits arrive bf16-rounded, so every
+    # real candidate's f32 pattern has zero low mantissa bits and distinct
+    # candidates have distinct high-16 prefixes — 16 bisection steps over
+    # the high bits find the exact k-th largest.
+    u = jax.lax.bitcast_convert_type(logits, jnp.uint32)
     neg = (u >> 31) > 0
     ukey = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
 
@@ -201,7 +234,7 @@ def _sample_row(
         cnt = jnp.sum((ukey >= cand).astype(jnp.int32))
         return jnp.where(cnt >= topk, cand, t)
 
-    kth = jax.lax.fori_loop(0, 32, bit_body, jnp.uint32(0))
+    kth = jax.lax.fori_loop(0, 16, bit_body, jnp.uint32(0))
     filtered = jnp.where(ukey >= kth, scaled, NEG_INF)
     return jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
 
@@ -234,14 +267,16 @@ def _decoder_pass(
     nq, nkv, hd = dcfg.num_attention_heads, dcfg.num_key_value_heads, dcfg.head_dim
     Dd = dcfg.hidden_size
 
+    F = dcfg.intermediate_size
     cos = cos_ref[pl.ds(pos0, T)]  # [T, hd]
     sin = sin_ref[pl.ds(pos0, T)]
     h = x
     for l in range(L):
         xn = _rmsnorm_f32(h, an_ref[l], eps)
-        q = _qmm(xn, w_refs["wq"][l], s_refs["wq"][l]).reshape(T, nq, hd)
-        k = _qmm(xn, w_refs["wk"][l], s_refs["wk"][l]).reshape(T, nkv, hd)
-        v = _qmm(xn, w_refs["wv"][l], s_refs["wv"][l]).reshape(T, nkv, hd)
+        qkv = _qmm(xn, w_refs["wqkv"][l], s_refs["wqkv"][l])
+        q = qkv[:, : nq * hd].reshape(T, nq, hd)
+        k = qkv[:, nq * hd : (nq + nkv) * hd].reshape(T, nkv, hd)
+        v = qkv[:, (nq + nkv) * hd :].reshape(T, nkv, hd)
         q = _rope_f32(q, cos, sin)
         k = _rope_f32(k, cos, sin)
         for j in range(nkv):
@@ -250,9 +285,8 @@ def _decoder_pass(
         attn = _attend(q, kv_k[l], kv_v[l], pos0)  # [T, nq*hd]
         h = h + _qmm(attn, w_refs["wo"][l], s_refs["wo"][l])
         xn = _rmsnorm_f32(h, mn_ref[l], eps)
-        gate = _qmm(xn, w_refs["w_gate"][l], s_refs["w_gate"][l])
-        up = _qmm(xn, w_refs["w_up"][l], s_refs["w_up"][l])
-        gated = jax.nn.silu(gate) * up
+        gu = _qmm(xn, w_refs["w_gu"][l], s_refs["w_gu"][l])
+        gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
         h = h + _qmm(gated, w_refs["w_down"][l], s_refs["w_down"][l])
     h_last = h[T - 1 : T, :]
     return _rmsnorm_f32(h_last, fn_ref[:], eps)
@@ -273,8 +307,8 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype):
     def kernel(
         temp_ref,  # SMEM (1,) f32
         x_prefill_ref,  # VMEM (2, Dd) f32
-        wq, wk, wv, wo, wg, wu, wd,  # VMEM int8 [L, K, N]
-        sq, sk, sv, so, sg, su, sd,  # VMEM f32 [L, 1, N]
+        wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused projections)
+        sqkv, so, sgu, sd,  # VMEM f32 [L, 1, N]
         an_ref, mn_ref, fn_ref,  # VMEM f32 norms
         cos_ref, sin_ref,  # VMEM f32 [P, hd]
         gumbel_ref,  # VMEM f32 [N-1, 1, Va]
@@ -287,8 +321,8 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype):
         head_sem,  # DMA sem (2,)
         emb_sem,  # DMA sem ()
     ):
-        w_refs = dict(zip(_MATS, (wq, wk, wv, wo, wg, wu, wd)))
-        s_refs = dict(zip(_MATS, (sq, sk, sv, so, sg, su, sd)))
+        w_refs = dict(zip(_KERNEL_MATS, (wqkv, wo, wgu, wd)))
+        s_refs = dict(zip(_KERNEL_MATS, (sqkv, so, sgu, sd)))
         temp = temp_ref[0]
 
         def head_dma(slot, i):
@@ -389,10 +423,12 @@ def fused_decode_codebooks(
     kernel = _make_kernel(config, topk, greedy, head_dtype)
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    weights = [qdec["w"][m] for m in _MATS] + [qdec["s"][m] for m in _MATS]
+    weights = [qdec["w"][m] for m in _KERNEL_MATS] + [
+        qdec["s"][m] for m in _KERNEL_MATS
+    ]
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM), vm]
-        + [vm] * (2 * len(_MATS))
+        + [vm] * (2 * len(_KERNEL_MATS))
         + [vm] * 5  # norms + rope
         + [vm]  # gumbel
         + [pl.BlockSpec(memory_space=pl.ANY)] * 2  # head, emb tables
