@@ -111,12 +111,14 @@ def decode_frame(
     faster on a v5e chip, quantized numerics — see that module's docs).
     """
     B = last_h.shape[0]
-    if qdec is not None and B == 1:
+    # The fused kernel is latency-bound, so batching rows through it is
+    # near-free; cap B so the per-stream KV/gumbel/embedding scratch stays a
+    # small slice of VMEM next to the resident weights.
+    if qdec is not None and B <= 8:
         from csm_tpu.ops.fused_decoder import decode_frame_fused
 
         return decode_frame_fused(
-            params, qdec, config,
-            last_h, c0_logits, rng[0] if _is_per_stream(rng) else rng,
+            params, qdec, config, last_h, c0_logits, rng,
             temperature, topk, greedy,
         )
     N = config.audio_num_codebooks

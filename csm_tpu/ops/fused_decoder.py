@@ -207,16 +207,16 @@ def _attend(
 
 
 def _sample_row(
-    logits: jnp.ndarray,  # [1, V] f32
-    gumbel: jnp.ndarray,  # [1, V] f32
+    logits: jnp.ndarray,  # [B, V] f32
+    gumbel: jnp.ndarray,  # [B, V] f32
     temperature,  # scalar f32
     topk: int,
     greedy: bool,
 ) -> jnp.ndarray:
-    """One Gumbel-top-k draw (ties at the k-th value kept, as in
-    :func:`csm_tpu.ops.sampling.topk_mask`).  The k-th largest value is found
-    EXACTLY by bisection over orderable float bit patterns — no sort.
-    Returns ``[1]`` int32."""
+    """One Gumbel-top-k draw per row (ties at the k-th value kept, as in
+    :func:`csm_tpu.ops.sampling.topk_mask`).  Each row's k-th largest value
+    is found EXACTLY by bisection over orderable float bit patterns — no
+    sort.  Returns ``[B]`` int32."""
     if greedy:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     scaled = logits / jnp.maximum(temperature, 1e-6)
@@ -229,12 +229,14 @@ def _sample_row(
     neg = (u >> 31) > 0
     ukey = jnp.where(neg, ~u, u | jnp.uint32(0x80000000))
 
-    def bit_body(b, t):
+    def bit_body(b, t):  # t: [B, 1] per-row threshold prefix
         cand = t | jax.lax.shift_left(jnp.uint32(1), jnp.uint32(31 - b))
-        cnt = jnp.sum((ukey >= cand).astype(jnp.int32))
+        cnt = jnp.sum((ukey >= cand).astype(jnp.int32), axis=-1, keepdims=True)
         return jnp.where(cnt >= topk, cand, t)
 
-    kth = jax.lax.fori_loop(0, 16, bit_body, jnp.uint32(0))
+    kth = jax.lax.fori_loop(
+        0, 16, bit_body, jnp.zeros((logits.shape[0], 1), jnp.uint32)
+    )
     filtered = jnp.where(ukey >= kth, scaled, NEG_INF)
     return jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
 
@@ -245,8 +247,9 @@ def _sample_row(
 
 
 def _decoder_pass(
-    x: jnp.ndarray,  # [T, Dd] f32
+    x: jnp.ndarray,  # [B*T, Dd] f32, rows ordered stream-major (b*T + t)
     pos0,  # scalar int32
+    B: int,
     T: int,
     dcfg,
     eps: float,
@@ -260,39 +263,53 @@ def _decoder_pass(
     kv_k,
     kv_v,
 ) -> jnp.ndarray:
-    """One forward pass of the 4-layer decoder over ``T`` tokens starting at
-    absolute position ``pos0``, reading/writing the VMEM KV scratch.
-    Returns the final-norm hidden of the LAST token ``[1, Dd]`` f32."""
+    """One forward pass of the 4-layer decoder over ``T`` tokens of ``B``
+    streams starting at absolute position ``pos0`` (all streams are
+    position-aligned inside a frame), reading/writing the VMEM KV scratch.
+    Returns the final-norm hidden of each stream's LAST token ``[B, Dd]``.
+
+    Batching is near-free here: the serial matvec latency dominates, and
+    extra rows ride the same MXU passes — the basis of the batched serving
+    path's aggregate throughput.
+    """
     L = dcfg.num_hidden_layers
     nq, nkv, hd = dcfg.num_attention_heads, dcfg.num_key_value_heads, dcfg.head_dim
     Dd = dcfg.hidden_size
 
     F = dcfg.intermediate_size
-    cos = cos_ref[pl.ds(pos0, T)]  # [T, hd]
-    sin = sin_ref[pl.ds(pos0, T)]
+    cos_t = cos_ref[pl.ds(pos0, T)]  # [T, hd]
+    sin_t = sin_ref[pl.ds(pos0, T)]
+    cos = jnp.broadcast_to(cos_t[None], (B, T, hd)).reshape(B * T, hd)
+    sin = jnp.broadcast_to(sin_t[None], (B, T, hd)).reshape(B * T, hd)
     h = x
     for l in range(L):
         xn = _rmsnorm_f32(h, an_ref[l], eps)
         qkv = _qmm(xn, w_refs["wqkv"][l], s_refs["wqkv"][l])
-        q = qkv[:, : nq * hd].reshape(T, nq, hd)
-        k = qkv[:, nq * hd : (nq + nkv) * hd].reshape(T, nkv, hd)
-        v = qkv[:, (nq + nkv) * hd :].reshape(T, nkv, hd)
+        q = qkv[:, : nq * hd].reshape(B * T, nq, hd)
+        k = qkv[:, nq * hd : (nq + nkv) * hd].reshape(B * T, nkv, hd)
+        v = qkv[:, (nq + nkv) * hd :].reshape(B * T, nkv, hd)
         q = _rope_f32(q, cos, sin)
         k = _rope_f32(k, cos, sin)
-        for j in range(nkv):
-            kv_k[l, j, pl.ds(pos0, T), :] = k[:, j, :]
-            kv_v[l, j, pl.ds(pos0, T), :] = v[:, j, :]
-        attn = _attend(q, kv_k[l], kv_v[l], pos0)  # [T, nq*hd]
+        k4 = k.reshape(B, T, nkv, hd)
+        v4 = v.reshape(B, T, nkv, hd)
+        attns = []
+        for b in range(B):
+            for j in range(nkv):
+                kv_k[l, b, j, pl.ds(pos0, T), :] = k4[b, :, j, :]
+                kv_v[l, b, j, pl.ds(pos0, T), :] = v4[b, :, j, :]
+            qb = q.reshape(B, T, nq, hd)[b]
+            attns.append(_attend(qb, kv_k[l, b], kv_v[l, b], pos0))
+        attn = jnp.concatenate(attns, axis=0) if B > 1 else attns[0]
         h = h + _qmm(attn, w_refs["wo"][l], s_refs["wo"][l])
         xn = _rmsnorm_f32(h, mn_ref[l], eps)
         gu = _qmm(xn, w_refs["w_gu"][l], s_refs["w_gu"][l])
         gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
         h = h + _qmm(gated, w_refs["w_down"][l], s_refs["w_down"][l])
-    h_last = h[T - 1 : T, :]
+    h_last = h.reshape(B, T, Dd)[:, T - 1, :]  # [B, Dd]
     return _rmsnorm_f32(h_last, fn_ref[:], eps)
 
 
-def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype):
+def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int):
     dcfg = config.decoder
     eps = dcfg.rms_norm_eps
     N = config.audio_num_codebooks
@@ -306,20 +323,20 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype):
 
     def kernel(
         temp_ref,  # SMEM (1,) f32
-        x_prefill_ref,  # VMEM (2, Dd) f32
+        x_prefill_ref,  # VMEM (B, 2, Dd) f32
         wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused projections)
         sqkv, so, sgu, sd,  # VMEM f32 [L, 1, N]
         an_ref, mn_ref, fn_ref,  # VMEM f32 norms
         cos_ref, sin_ref,  # VMEM f32 [P, hd]
-        gumbel_ref,  # VMEM f32 [N-1, 1, Va]
-        head_hbm,  # ANY [N-1, Dd, Va]
+        gumbel_ref,  # VMEM f32 [N-1, B, Va_pad]
+        head_hbm,  # ANY [N-1, Dd, Va_pad]
         emb_hbm,  # ANY [rows, sub, lanes]
-        samples_ref,  # out VMEM (1, N-1) int32
-        head_buf,  # scratch VMEM (2, Dd, Va) head_dtype
-        emb_buf,  # scratch VMEM (sub, lanes) head_dtype
-        kv_k, kv_v,  # scratch VMEM (L, nkv, P, hd) f32
+        samples_ref,  # out VMEM (B, N-1) int32
+        head_buf,  # scratch VMEM (2, Dd, Va_pad) head_dtype
+        emb_buf,  # scratch VMEM (B, sub, lanes) emb dtype
+        kv_k, kv_v,  # scratch VMEM (L, B, nkv, P, hd) f32
         head_sem,  # DMA sem (2,)
-        emb_sem,  # DMA sem ()
+        emb_sem,  # DMA sem (B,)
     ):
         w_refs = dict(zip(_KERNEL_MATS, (wqkv, wo, wgu, wd)))
         s_refs = dict(zip(_KERNEL_MATS, (sqkv, so, sgu, sd)))
@@ -340,12 +357,13 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype):
         # Decoder prefill: [proj(last_h); proj(embed(c0))] at positions 0..1
         # (reference modeling_csm.py:536-552); inputs were projected outside.
         h_last = _decoder_pass(
-            x_prefill_ref[:], 0, 2, dcfg, eps, w_refs, s_refs,
-            an_ref, mn_ref, fn_ref, cos_ref, sin_ref, kv_k, kv_v,
+            x_prefill_ref[:].reshape(B * 2, Dd), 0, B, 2, dcfg, eps,
+            w_refs, s_refs, an_ref, mn_ref, fn_ref, cos_ref, sin_ref,
+            kv_k, kv_v,
         )
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, N - 1), 1)
-        vcol = jax.lax.broadcasted_iota(jnp.int32, (1, Va_pad), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, N - 1), 1)
+        vcol = jax.lax.broadcasted_iota(jnp.int32, (B, Va_pad), 1)
 
         def step(i, carry):
             h_last, samples = carry
@@ -359,31 +377,37 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype):
             logits = jax.lax.dot_general(
                 h_last.astype(head_dtype), head_buf[slot],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )  # [1, Va_pad]
+            )  # [B, Va_pad]
             # Round through bf16 to mirror the XLA path's head-matmul output
             # dtype, keeping greedy decisions comparable across paths; mask
             # the zero-padded vocab lanes out of contention.
             logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
             logits = jnp.where(vcol < Va, logits, NEG_INF)
             ci = _sample_row(logits, gumbel_ref[i - 1], temp, topk, greedy)
-            samples = jnp.where(col == i - 1, ci[0], samples)
+            samples = jnp.where(col == i - 1, ci[:, None], samples)
 
-            # Fetch the pre-projected embedding of ci (codebook-i offset) and
-            # run one decoder step at position i+1.  The i == N-1 step's
-            # output is unused (the reference also skips the trailing step) —
-            # running it unconditionally keeps the loop body uniform.
-            row = ci[0] + i * Va
-            dma = pltpu.make_async_copy(emb_hbm.at[row], emb_buf, emb_sem)
-            dma.start()
-            dma.wait()
-            x = emb_buf[:].astype(jnp.float32).reshape(1, Dd)
+            # Fetch the pre-projected embedding of each stream's ci
+            # (codebook-i offset) and run one decoder step at position i+1.
+            # The i == N-1 step's output is unused (the reference also skips
+            # the trailing step) — running it unconditionally keeps the loop
+            # body uniform.
+            rows = ci + i * Va  # [B]
+            for b in range(B):
+                pltpu.make_async_copy(
+                    emb_hbm.at[rows[b]], emb_buf.at[b], emb_sem.at[b]
+                ).start()
+            for b in range(B):
+                pltpu.make_async_copy(
+                    emb_hbm.at[rows[b]], emb_buf.at[b], emb_sem.at[b]
+                ).wait()
+            x = emb_buf[:].astype(jnp.float32).reshape(B, Dd)
             h_next = _decoder_pass(
-                x, i + 1, 1, dcfg, eps, w_refs, s_refs,
+                x, i + 1, B, 1, dcfg, eps, w_refs, s_refs,
                 an_ref, mn_ref, fn_ref, cos_ref, sin_ref, kv_k, kv_v,
             )
             return h_next, samples
 
-        samples0 = jnp.zeros((1, N - 1), jnp.int32)
+        samples0 = jnp.zeros((B, N - 1), jnp.int32)
         _, samples = jax.lax.fori_loop(1, N, step, (h_last, samples0))
         samples_ref[:] = samples
 
@@ -396,15 +420,15 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype):
 def fused_decode_codebooks(
     qdec: dict,
     config: CSMConfig,
-    x_prefill: jnp.ndarray,  # [2, Dd] f32 — projected [last_h; embed(c0)]
-    gumbel: jnp.ndarray,  # [N-1, 1, Va] f32
+    x_prefill: jnp.ndarray,  # [B, 2, Dd] f32 — projected [last_h; embed(c0)]
+    gumbel: jnp.ndarray,  # [N-1, B, Va] f32
     temperature,  # scalar f32
     *,
     topk: int,
     greedy: bool,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the fused kernel; returns codebooks 1..N-1 as ``[1, N-1]`` int32."""
+    """Run the fused kernel; returns codebooks 1..N-1 as ``[B, N-1]`` int32."""
     dcfg = config.decoder
     N = config.audio_num_codebooks
     Va = config.audio_vocab_size
@@ -416,11 +440,12 @@ def fused_decode_codebooks(
     head_dtype = qdec["audio_head"].dtype
     lanes = min(Dd, 128)
     sub = Dd // lanes
+    B = x_prefill.shape[0]
     gumbel = jnp.pad(
         gumbel.astype(jnp.float32), ((0, 0), (0, 0), (0, Va_pad - Va))
     )
 
-    kernel = _make_kernel(config, topk, greedy, head_dtype)
+    kernel = _make_kernel(config, topk, greedy, head_dtype, B)
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     weights = [qdec["w"][m] for m in _KERNEL_MATS] + [
@@ -440,16 +465,16 @@ def fused_decode_codebooks(
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, N - 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, N - 1), jnp.int32),
         in_specs=in_specs,
         out_specs=vm,
         scratch_shapes=[
             pltpu.VMEM((2, Dd, Va_pad), head_dtype),
-            pltpu.VMEM((sub, lanes), qdec["proj_emb"].dtype),
-            pltpu.VMEM((L, nkv, P, hd), jnp.float32),
-            pltpu.VMEM((L, nkv, P, hd), jnp.float32),
+            pltpu.VMEM((B, sub, lanes), qdec["proj_emb"].dtype),
+            pltpu.VMEM((L, B, nkv, P, hd), jnp.float32),
+            pltpu.VMEM((L, B, nkv, P, hd), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((B,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 127 * 1024 * 1024),
@@ -573,16 +598,17 @@ def decode_frame_fused(
     *,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Sample one frame's 32 codebooks using the fused kernel (B == 1).
+    """Sample one frame's 32 codebooks per stream using the fused kernel.
 
     c0 is sampled OUTSIDE the kernel with the standard path (keys[0], exact
-    :func:`csm_tpu.ops.sampling.sample_topk` semantics); the Gumbel noise for
-    codebooks 1..31 is drawn from keys[1..31] exactly as the XLA path would,
-    so sampled-mode distributions line up across implementations.
+    :mod:`csm_tpu.ops.sampling` semantics); the Gumbel noise for codebooks
+    1..31 is drawn from keys[1..31] exactly as the XLA path would, so
+    sampled-mode distributions line up across implementations.  ``rng`` may
+    be one key (joint draws, like the reference's batched sampler) or a
+    ``[B]`` key array (per-stream draws: each row matches its solo run —
+    the continuous-batching serving contract).
     """
     B = last_h.shape[0]
-    if B != 1:
-        raise ValueError("fused decoder kernel supports batch size 1")
     if interpret is None:
         # No Mosaic backend on CPU (tests): fall back to interpreter mode.
         interpret = jax.default_backend() == "cpu"
@@ -591,25 +617,44 @@ def decode_frame_fused(
 
     if rng is None:
         rng = jax.random.key(0)
-    keys = jax.random.split(rng, N)
-    c0 = sample_topk(keys[0], c0_logits, topk, temperature, greedy)  # [B]
+    per_stream = jnp.ndim(rng) > 0
+    if per_stream:
+        from csm_tpu.ops.sampling import sample_topk_batch
 
-    if greedy:
-        gumbel = jnp.zeros((N - 1, 1, Va), jnp.float32)
+        keys_b = jax.vmap(lambda k: jax.random.split(k, N))(rng)  # [B, N]
+        c0 = sample_topk_batch(keys_b[:, 0], c0_logits, topk, temperature, greedy)
+        if greedy:
+            gumbel = jnp.zeros((N - 1, B, Va), jnp.float32)
+        else:
+            # Row b draws from its own key stream — identical to the B=1
+            # per-stream path (gumbel(k, (1, Va)) rows).
+            gumbel = jax.vmap(
+                lambda kb: jax.vmap(
+                    lambda k: jax.random.gumbel(k, (1, Va), jnp.float32)[0]
+                )(kb)
+            )(keys_b[:, 1:])  # [B, N-1, Va]
+            gumbel = jnp.swapaxes(gumbel, 0, 1)  # [N-1, B, Va]
     else:
-        gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (1, Va), jnp.float32))(
-            keys[1:]
-        )
+        keys = jax.random.split(rng, N)
+        c0 = sample_topk(keys[0], c0_logits, topk, temperature, greedy)  # [B]
+        if greedy:
+            gumbel = jnp.zeros((N - 1, B, Va), jnp.float32)
+        else:
+            gumbel = jax.vmap(
+                lambda k: jax.random.gumbel(k, (B, Va), jnp.float32)
+            )(keys[1:])
 
     proj_emb_flat = qdec["proj_emb"].reshape(
         qdec["proj_emb"].shape[0], config.decoder.hidden_size
     )
-    x0 = last_h @ params["projection"]  # [1, Dd]
-    x1 = proj_emb_flat[c0[0]][None, :]  # codebook-0 offset is 0
-    x_prefill = jnp.concatenate([x0.astype(jnp.float32), x1.astype(jnp.float32)], 0)
+    x0 = last_h @ params["projection"]  # [B, Dd]
+    x1 = proj_emb_flat[c0]  # [B, Dd] — codebook-0 offset is 0
+    x_prefill = jnp.stack(
+        [x0.astype(jnp.float32), x1.astype(jnp.float32)], axis=1
+    )  # [B, 2, Dd]
 
     cb = fused_decode_codebooks(
         qdec, config, x_prefill, gumbel, temperature,
         topk=topk, greedy=greedy, interpret=interpret,
-    )  # [1, N-1]
-    return jnp.concatenate([c0[:, None], cb], axis=1)  # [1, N]
+    )  # [B, N-1]
+    return jnp.concatenate([c0[:, None], cb], axis=1)  # [B, N]

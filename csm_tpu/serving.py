@@ -194,6 +194,8 @@ class CSMServer:
         greedy: bool = False,
         stop_on_all_zeros: bool = True,
         max_new_frames: int = 100,
+        qdec: Optional[dict] = None,
+        qbb: Optional[dict] = None,
     ):
         self.params = params
         self.config = config
@@ -202,17 +204,26 @@ class CSMServer:
         self.stop_on_all_zeros = stop_on_all_zeros
         self.default_max_new_frames = max_new_frames
 
+        # Quantized fast paths (csm_tpu/ops/{fused_decoder,quant}): the
+        # batched fused decoder kernel rides the same serial matvecs for all
+        # slots, and the int8 backbone halves decode-step weight traffic.
+        # Prefill always stays bf16.  The bundles are jit ARGUMENTS, never
+        # closure captures — captured pytrees get inlined into the HLO as
+        # constants (a gigabyte of weights in the compile request).
+        self._qdec = qdec
+        self._qbb = qbb
         self._prefill = jax.jit(
-            lambda p, ids, mask, tl, cache, keys: generate_frame(
+            lambda p, ids, mask, tl, cache, keys, qd: generate_frame(
                 p, config, ids, mask, cache=cache, rng=keys,
                 temperature=temperature, topk=topk, greedy=greedy,
-                true_len=tl, flash_prefill=True,
+                true_len=tl, flash_prefill=True, qdec=qd,
             )
         )
         self._step = jax.jit(
-            lambda p, ids, mask, cache, keys: generate_frame(
+            lambda p, ids, mask, cache, keys, qd, qb: generate_frame(
                 p, config, ids, mask, cache=cache, rng=keys,
                 temperature=temperature, topk=topk, greedy=greedy,
+                qdec=qd, qbb=qb,
             )
         )
 
@@ -289,7 +300,7 @@ class CSMServer:
         rng, k0 = pair[0], pair[1]
         out = self._prefill(
             self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
-            small, k0[None],
+            small, k0[None], self._qdec,
         )
 
         self.cache, self._rngs, self._last = self._admit(
@@ -333,7 +344,10 @@ class CSMServer:
         ids, mask = _next_frame_inputs(self.config, self._last)
         pair = jax.vmap(jax.random.split)(self._rngs)  # [B, 2]
         self._rngs = pair[:, 0]
-        out = self._step(self.params, ids, mask, self.cache, pair[:, 1])
+        out = self._step(
+            self.params, ids, mask, self.cache, pair[:, 1],
+            self._qdec, self._qbb,
+        )
         self.cache = out.cache
         self._last = out.samples
         frames = np.asarray(out.samples)

@@ -89,7 +89,8 @@ def test_kernel_matches_emulator(setup, greedy):
         qdec, config, xp, gumbel, 0.8, topk=10, greedy=greedy
     )
     kr = fd.fused_decode_codebooks(
-        qdec, config, xp, gumbel, 0.8, topk=10, greedy=greedy, interpret=True
+        qdec, config, xp[None], gumbel, 0.8, topk=10, greedy=greedy,
+        interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(em), np.asarray(kr))
     # Tokens are in range.
@@ -149,3 +150,38 @@ def test_generation_integration_with_qdec(setup):
         out.append(np.asarray(frames))
     assert out[0].shape == (B, 3, config.audio_num_codebooks)
     np.testing.assert_array_equal(out[0], out[1])
+
+
+def test_batched_kernel_rows_equal_solo_runs(setup):
+    """The batched fused kernel (B>1) produces, per row, exactly the B=1
+    per-stream result — batching is free of cross-stream interference (the
+    property the batched serving aggregate and CSMServer rely on)."""
+    config, params, qdec, *_ = setup
+    B = 3
+    last_h = jax.random.normal(
+        jax.random.key(5), (B, config.backbone.hidden_size), jnp.float32
+    )
+    c0_logits = jax.random.normal(
+        jax.random.key(6), (B, config.audio_vocab_size), jnp.float32
+    )
+    keys = jax.random.split(jax.random.key(42), B)
+
+    out_b = fd.decode_frame_fused(
+        params, qdec, config, last_h, c0_logits, keys, 0.8, 5, False,
+        interpret=True,
+    )
+    solo = np.stack([
+        np.asarray(fd.decode_frame_fused(
+            params, qdec, config, last_h[b:b+1], c0_logits[b:b+1],
+            keys[b:b+1], 0.8, 5, False, interpret=True,
+        ))[0]
+        for b in range(B)
+    ])
+    np.testing.assert_array_equal(np.asarray(out_b), solo)
+
+    # Joint-key greedy batched mode also runs.
+    out_g = fd.decode_frame_fused(
+        params, qdec, config, last_h, c0_logits, jax.random.key(9),
+        1.0, 5, True, interpret=True,
+    )
+    assert out_g.shape == (B, config.audio_num_codebooks)
