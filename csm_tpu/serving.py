@@ -227,6 +227,28 @@ class CSMServer:
             )
         )
 
+        # Device-side multi-step loop: one dispatch advances every slot by
+        # ``n`` frames (a lax.scan of the step body) — host round-trip cost
+        # amortizes over the chunk.  Admission only happens between chunks.
+        def _steps(p, cache, rngs, last, qd, qb, n):
+            def body(carry, _):
+                cache, rngs, last = carry
+                ids, mask = _next_frame_inputs(config, last)
+                pair = jax.vmap(jax.random.split)(rngs)
+                out = generate_frame(
+                    p, config, ids, mask, cache=cache, rng=pair[:, 1],
+                    temperature=temperature, topk=topk, greedy=greedy,
+                    qdec=qd, qbb=qb,
+                )
+                return (out.cache, pair[:, 0], out.samples), out.samples
+
+            (cache, rngs, last), frames = jax.lax.scan(
+                body, (cache, rngs, last), None, length=n
+            )
+            return cache, rngs, last, frames  # frames [n, B, 32]
+
+        self._step_many = jax.jit(_steps, static_argnames=("n",))
+
         def _admit(cache, small, slot, true_len, rngs, key, frame, frames):
             k = jax.lax.dynamic_update_slice(cache.k, small.k, (0, slot, 0, 0, 0))
             v = jax.lax.dynamic_update_slice(cache.v, small.v, (0, slot, 0, 0, 0))
@@ -313,7 +335,7 @@ class CSMServer:
         self._frames[rid] = []
         self._observe(slot, np.asarray(out.samples)[0])
 
-    def _observe(self, slot, frame: np.ndarray):
+    def _observe(self, slot, frame: np.ndarray, drain: bool = True):
         rid = self._slot_req[slot]
         stopped = self.stop_on_all_zeros and not frame.any()
         if not stopped:
@@ -321,9 +343,9 @@ class CSMServer:
             self._budget[slot] -= 1
             self._depth[slot] += 1
         if stopped or self._budget[slot] <= 0 or self._depth[slot] >= self.window:
-            self._finish(slot)
+            self._finish(slot, drain=drain)
 
-    def _finish(self, slot):
+    def _finish(self, slot, drain: bool = True):
         rid = self._slot_req[slot]
         frames = self._frames.pop(rid)
         self.results[rid] = (
@@ -331,7 +353,8 @@ class CSMServer:
             else np.zeros((0, self.config.audio_num_codebooks), np.int64)
         )
         self._slot_req[slot] = None
-        self._drain_pending()
+        if drain:
+            self._drain_pending()
 
     def step(self) -> bool:
         """Advance every live stream by one frame.  Returns False when no
@@ -355,9 +378,41 @@ class CSMServer:
             self._observe(s, frames[s])
         return bool(self.active_slots or self._pending)
 
-    def run_until_idle(self, max_steps: int = 10_000) -> dict:
-        """Drive step() until every submitted request has finished."""
-        for _ in range(max_steps):
-            if not self.step():
+    def step_many(self, n: int) -> bool:
+        """Advance every live stream by up to ``n`` frames in ONE device
+        dispatch (``lax.scan`` over the step body).
+
+        Slots that stop mid-chunk simply have their later chunk frames
+        discarded (their decode work is wasted but harmless — admission
+        fully overwrites a freed slot); pending requests are admitted only
+        after the chunk.  Use ``step()`` when admission latency matters
+        more than dispatch amortization.
+        """
+        if not self.active_slots:
+            self._drain_pending()
+            if not self.active_slots:
+                return False
+        rid_at_start = list(self._slot_req)
+        cache, rngs, last, frames = self._step_many(
+            self.params, self.cache, self._rngs, self._last,
+            self._qdec, self._qbb, n,
+        )
+        self.cache, self._rngs, self._last = cache, rngs, last
+        frames = np.asarray(frames)  # [n, B, 32]
+        for t in range(frames.shape[0]):
+            for s in range(self.n_slots):
+                if rid_at_start[s] is not None and self._slot_req[s] == rid_at_start[s]:
+                    self._observe(s, frames[t, s], drain=False)
+        self._drain_pending()
+        return bool(self.active_slots or self._pending)
+
+    def run_until_idle(self, max_steps: int = 10_000, chunk: int = 1) -> dict:
+        """Drive the server until every submitted request has finished.
+        ``chunk > 1`` amortizes host dispatch via :meth:`step_many`."""
+        steps = 0
+        while steps < max_steps:
+            alive = self.step_many(chunk) if chunk > 1 else self.step()
+            steps += chunk
+            if not alive:
                 break
         return self.results

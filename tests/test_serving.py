@@ -190,3 +190,33 @@ def test_continuous_batching_queues_when_full():
     for rid, (ids, mask), key in zip(rids, prompts, keys):
         solo = _solo(params, cfg, ids, mask, key, budget, True)
         np.testing.assert_array_equal(server.results[rid], solo)
+
+
+def test_step_many_chunked_matches_single_steps():
+    """run_until_idle(chunk=4) (device-side multi-step scan) produces the
+    same results as per-frame stepping, including mid-flight admission at
+    chunk boundaries."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    budget = 6
+
+    def run(chunk):
+        server = CSMServer(params, cfg, n_slots=2, window=64,
+                           temperature=0.9, topk=5, greedy=False,
+                           max_new_frames=budget)
+        keys = [jax.random.key(31), jax.random.key(32), jax.random.key(33)]
+        prompts = [_prompt(cfg, 5 + 2 * i, seed=50 + i) for i in range(3)]
+        rids = [server.submit(p[0], p[1], rng=k) for p, k in zip(prompts, keys)]
+        server.run_until_idle(chunk=chunk)
+        return {rid: server.results[rid] for rid in rids}
+
+    a = run(1)
+    b = run(4)
+    assert a.keys() == b.keys()
+    for rid in a:
+        np.testing.assert_array_equal(a[rid], b[rid])
