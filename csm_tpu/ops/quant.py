@@ -4,10 +4,11 @@ The per-frame backbone decode step is HBM-bound: one token through 16
 layers re-reads ~2 GB of bf16 weights (~2.4 ms at v5e's 819 GB/s) — the
 largest single cost once the fused decoder kernel exists.  Storing the
 matmul weights as symmetric per-output-channel **int8** halves the bytes,
-and XLA's native int8×int8→int32 MXU path consumes them directly — no
+and the MXU consumes them directly against bf16 activations (W8A16) — no
 dequantized copy is ever materialized (a dequant-then-matmul formulation IS
-slower; this is the native-dot formulation).  Measured on one v5e: the
-backbone matmul stack drops from ~2.8 ms to ~1.5 ms per decode step.
+slower than bf16; the native mixed dot is not), and no activation
+quantization error is introduced.  Measured on one v5e: the backbone
+matmul stack drops from ~2.8 ms to ~1.45 ms per decode step.
 
 Opt-in (``qbb=`` through :func:`csm_tpu.generation.generate_compiled`):
 prefill and training stay bf16; only the per-frame decode steps use the
@@ -32,18 +33,18 @@ _MATS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 
 def qmm(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
-    """W8A8 matmul: per-row dynamic activation quant → int8 MXU dot → fp32
-    rescale.  ``x [..., K]`` float, ``wq [K, N]`` int8, ``s [1, N]`` f32.
+    """W8A16 matmul: bf16 activations against int8 weights directly on the
+    MXU (int8 magnitudes ≤127 are exact in bf16 — numerically identical to
+    a bf16 matmul against the dequantized weights), fp32 accumulation,
+    per-output-channel rescale.  Same speed as a W8A8 formulation at the
+    HBM-bound decode step, with zero activation quantization error.
+    ``x [..., K]`` float, ``wq [K, N]`` int8, ``s [1, N]`` f32.
     Returns f32 ``[..., N]``."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.where(amax > 0, amax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     acc = jax.lax.dot_general(
-        xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
+        x.astype(jnp.bfloat16), wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    return acc.astype(jnp.float32) * xs * s
+    return acc * s
 
 
 def prepare_quantized_backbone(params: dict, config: CSMConfig) -> dict:

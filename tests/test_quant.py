@@ -10,8 +10,9 @@ from csm_tpu.models import csm
 from csm_tpu.ops.quant import prepare_quantized_backbone, qmm
 
 
-def test_qmm_exact_int8_arithmetic():
-    """qmm == explicit quantize/int-matmul/rescale (no hidden dequant)."""
+def test_qmm_exact_w8a16_arithmetic():
+    """qmm == bf16(x) against the int8 weights with fp32 accumulation and
+    per-channel rescale — weight-only quantization, no activation quant."""
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((3, 32)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
@@ -20,13 +21,10 @@ def test_qmm_exact_int8_arithmetic():
     q, s = quantize_per_channel(w)
     got = qmm(x, q, s)
 
-    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    xs = amax / 127.0
-    xq = np.clip(np.round(np.asarray(x / xs)), -127, 127).astype(np.int64)
-    acc = xq @ np.asarray(q, np.int64)
-    want = acc.astype(np.float32) * np.asarray(xs) * np.asarray(s)
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
-    # And it approximates the float matmul to int8 accuracy.
+    xb = np.asarray(x.astype(jnp.bfloat16).astype(jnp.float32), np.float64)
+    want = (xb @ np.asarray(q, np.float64)) * np.asarray(s, np.float64)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    # And it approximates the float matmul to weight-int8 accuracy.
     exact = np.asarray(x @ w)
     err = np.abs(np.asarray(got) - exact) / (np.abs(exact).max() + 1e-9)
     assert err.max() < 0.05

@@ -149,3 +149,20 @@ def test_sample_topk_distribution():
     freq = np.bincount(draws, minlength=4) / len(draws)
     assert freq[3] == 0.0
     np.testing.assert_allclose(freq[:3], probs, atol=0.03)
+
+
+def test_warmup_generation_compiles():
+    """warmup_generation AOT-compiles without executing (tiny config, CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.config import CSMConfig
+    from csm_tpu.models import csm
+    from csm_tpu.utils.warmup import warmup_generation
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    n = warmup_generation(
+        params, cfg, batch_sizes=(1,), prompt_buckets=(8,), frame_budgets=(2,),
+    )
+    assert n == 1
