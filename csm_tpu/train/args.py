@@ -53,6 +53,11 @@ class TrainingArguments:
     # parity.
     seed: int = 42
     resume_from_checkpoint: bool = False
+    # LoRA (capability extension beyond the reference: parameter-efficient
+    # fine-tuning; 0 = full fine-tune like the reference)
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_targets: str = "wq,wv"  # comma-separated stacked-matrix names
     # TPU-specific
     max_seq_length: int = 2048  # hard cap / fallback static frame bucket
     pad_to_multiple: int = 64  # length-bucket granularity: batches pad to the

@@ -78,15 +78,29 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     max_decoder_frames: int,
     compute_dtype=None,
+    lora_cfg: Optional[dict] = None,
 ) -> Callable:
     """Build the jitted train step.
 
     The batch is ``[accum, B, S, 33]``; microbatches are scanned, gradients
     averaged (HF grad-accum semantics), then one optimizer update applied.
     Returns ``(state, metrics)`` with the two-loss split.
+
+    With ``lora_cfg={"alpha": a, "rank": r}``, ``state.params`` holds ONLY
+    the adapters: the step takes an extra frozen ``base_params`` argument,
+    merges adapters inside the jit, and updates adapters alone (the base
+    never receives gradients or optimizer state).
     """
 
-    def loss_fn(params, microbatch):
+    def loss_fn(train_params, base_params, microbatch):
+        if lora_cfg is not None:
+            from csm_tpu.train.lora import apply_lora
+
+            params = apply_lora(
+                base_params, train_params, lora_cfg["alpha"], lora_cfg["rank"]
+            )
+        else:
+            params = train_params
         if compute_dtype is not None:
             params = jax.tree.map(
                 lambda x: x.astype(compute_dtype)
@@ -109,12 +123,12 @@ def make_train_step(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def train_step(state: TrainState, base_params, batch: Dict[str, jnp.ndarray]):
         accum = batch["input_ids"].shape[0]
 
         def micro(carry, mb):
             grads_acc, loss_acc, aux_acc = carry
-            (loss, aux), grads = grad_fn(state.params, mb)
+            (loss, aux), grads = grad_fn(state.params, base_params, mb)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             aux_acc = jax.tree.map(jnp.add, aux_acc, aux)
             return (grads_acc, loss_acc + loss, aux_acc), None
@@ -225,15 +239,42 @@ class CSMTrainer:
             compute_dtype = jnp.float16
         else:
             compute_dtype = None
+
+        # LoRA mode: train ONLY rank-r adapters; the base checkpoint is a
+        # frozen (non-donated) step argument.
+        self.lora_rank = int(getattr(args, "lora_rank", 0) or 0)
+        self.lora_alpha = float(getattr(args, "lora_alpha", 16.0))
+        lora_cfg = (
+            {"alpha": self.lora_alpha, "rank": self.lora_rank}
+            if self.lora_rank > 0 else None
+        )
         step_fn = make_train_step(
             config, optimizer, max_dec, compute_dtype=compute_dtype,
+            lora_cfg=lora_cfg,
         )
 
         with self.mesh:
             params = jax.device_put(params, param_sharding(self.mesh, params))
-            opt_state = jax.jit(optimizer.init)(params)
+            if lora_cfg is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from csm_tpu.train.lora import init_lora_params
+
+                targets = tuple(
+                    t for t in getattr(args, "lora_targets", "wq,wv").split(",") if t
+                )
+                self.base_params = params
+                train_params = jax.device_put(
+                    init_lora_params(
+                        jax.random.key(args.seed), params, self.lora_rank, targets
+                    ),
+                    NamedSharding(self.mesh, PartitionSpec()),
+                )
+            else:
+                self.base_params = None
+                train_params = params
+            opt_state = jax.jit(optimizer.init)(train_params)
             self.state = TrainState(
-                params=params, opt_state=opt_state, step=jnp.int32(0)
+                params=train_params, opt_state=opt_state, step=jnp.int32(0)
             )
         self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
         # Jitted once here: a per-evaluate() jax.jit would recompile on every
@@ -241,12 +282,23 @@ class CSMTrainer:
         # formula — eval batches can hold up to global_batch*(S/ratio)+gb
         # valid decoder frames, and a smaller cap would silently drop the
         # later frames from eval_loss.
-        self._eval_fn = jax.jit(
-            lambda p, b: csm.forward(
-                p, self.config, b["input_ids"], b["attention_mask"],
-                labels=b["labels"], max_decoder_frames=self._max_dec,
-            ).loss
-        )
+        if lora_cfg is not None:
+            from csm_tpu.train.lora import apply_lora
+
+            self._eval_fn = jax.jit(
+                lambda tp, bp, b: csm.forward(
+                    apply_lora(bp, tp, self.lora_alpha, self.lora_rank),
+                    self.config, b["input_ids"], b["attention_mask"],
+                    labels=b["labels"], max_decoder_frames=self._max_dec,
+                ).loss
+            )
+        else:
+            self._eval_fn = jax.jit(
+                lambda p, _bp, b: csm.forward(
+                    p, self.config, b["input_ids"], b["attention_mask"],
+                    labels=b["labels"], max_decoder_frames=self._max_dec,
+                ).loss
+            )
         self._metrics_log: list = []
 
     # ------------------------------------------------------------------
@@ -343,7 +395,7 @@ class CSMTrainer:
                     k: jax.device_put(jnp.asarray(v), mb_sharding)
                     for k, v in batch.items()
                 }
-                self.state, metrics = self._step_fn(self.state, batch)
+                self.state, metrics = self._step_fn(self.state, self.base_params, batch)
                 if args.logging_steps and step % args.logging_steps == 0:
                     last = {k: float(v) for k, v in metrics.items()}
                     last["step"] = step
@@ -378,7 +430,7 @@ class CSMTrainer:
         def flush(n_real):
             collated = self.data_collator(buf)
             batch = {k: jnp.asarray(v) for k, v in collated.items()}
-            loss = float(self._eval_fn(self.state.params, batch))
+            loss = float(self._eval_fn(self.state.params, self.base_params, batch))
             losses.extend([loss] * n_real)
 
         with self.mesh:
@@ -417,7 +469,12 @@ class CSMTrainer:
 
     def save_model(self, output_dir: Optional[str] = None) -> None:
         """Final model save: params + config JSON (reference
-        ``trainer.save_model``, ``train.py:506-508``)."""
+        ``trainer.save_model``, ``train.py:506-508``).
+
+        In LoRA mode the MERGED model is exported (loads anywhere a full
+        checkpoint would, including the PyTorch reference) and the raw
+        adapters are saved alongside under ``adapters/``.
+        """
         import os
 
         from csm_tpu.checkpoint import save_checkpoint
@@ -425,6 +482,16 @@ class CSMTrainer:
         out = output_dir or self.args.output_dir
         os.makedirs(out, exist_ok=True)
         self.config.to_json(os.path.join(out, "config.json"))
-        save_checkpoint(os.path.join(out, "model"), 0, {"params": self.state.params},
+        params = self.state.params
+        if self.lora_rank > 0:
+            from csm_tpu.train.lora import merge_lora
+
+            save_checkpoint(os.path.join(out, "adapters"), 0,
+                            {"lora": self.state.params}, max_to_keep=1)
+            params = merge_lora(
+                self.base_params, self.state.params,
+                self.lora_alpha, self.lora_rank,
+            )
+        save_checkpoint(os.path.join(out, "model"), 0, {"params": params},
                         max_to_keep=1)
         logger.info("model saved at %s", out)
