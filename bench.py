@@ -80,7 +80,8 @@ def main():
     np.asarray(params["projection"])
 
     qdec = qbb = None
-    if args.impl == "fused" and jax.default_backend() != "cpu":
+    # Fused kernel: real-config TPU runs only (tiny debug shapes don't tile).
+    if args.impl == "fused" and not args.tiny and jax.default_backend() != "cpu":
         from csm_tpu.ops.fused_decoder import prepare_fused_decoder
         from csm_tpu.ops.quant import prepare_quantized_backbone
 
