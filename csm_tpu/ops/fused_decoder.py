@@ -88,10 +88,30 @@ def prepare_fused_decoder(params: dict, config: CSMConfig) -> dict:
     dcfg = config.decoder
     Dd = dcfg.hidden_size
     out = {"w": {}, "s": {}}
-    for name in _MATS:
-        q, s = quantize_per_channel(dec[name])
+
+    # RMSNorm WEIGHT FOLDING: rmsnorm(x, nw) @ W == rs * (x @ (diag(nw) W))
+    # with rs = rsqrt(mean(x²)+eps) a per-row scalar.  Folding nw into the
+    # pre-norm matrices (before quantization) lets the kernel start the MXU
+    # dot on the RAW residual stream while the rs reduce runs concurrently —
+    # the normalization leaves the serial dependency chain entirely.
+    attn_nw = dec["attn_norm"].astype(jnp.float32)[:, :, None]  # [L, D, 1]
+    mlp_nw = dec["mlp_norm"].astype(jnp.float32)[:, :, None]
+
+    def quant(name, fold=None):
+        w = dec[name].astype(jnp.float32)
+        if fold is not None:
+            w = w * fold
+        q, s = quantize_per_channel(w)
         out["w"][name] = q
         out["s"][name] = s  # [L, 1, N]
+
+    quant("wq", attn_nw)
+    quant("wk", attn_nw)
+    quant("wv", attn_nw)
+    quant("wo")
+    quant("w_gate", mlp_nw)
+    quant("w_up", mlp_nw)
+    quant("w_down")
     # Fused projections: Q/K/V and gate/up concatenated on the output axis —
     # one MXU dot each instead of 3 + 2.  Per-output-channel scales make the
     # concatenation bit-identical to the separate matmuls (each column keeps
@@ -110,9 +130,6 @@ def prepare_fused_decoder(params: dict, config: CSMConfig) -> dict:
     out["s"]["w_gu"] = jnp.concatenate(
         [out["s"]["w_gate"], out["s"]["w_up"]], axis=-1
     )
-    out["attn_norm"] = dec["attn_norm"].astype(jnp.float32)[:, None, :]
-    out["mlp_norm"] = dec["mlp_norm"].astype(jnp.float32)[:, None, :]
-    out["final_norm"] = params["decoder"]["final_norm"].astype(jnp.float32)[None, :]
     cos, sin = compute_rope_table(dcfg, config.decoder_rope_positions)
     out["cos"] = cos.astype(jnp.float32)
     out["sin"] = sin.astype(jnp.float32)
@@ -124,11 +141,15 @@ def prepare_fused_decoder(params: dict, config: CSMConfig) -> dict:
     out["proj_emb"] = proj_emb.reshape(rows, Dd // lanes, lanes).astype(emb_dtype)
     # Zero-pad the head's vocab axis to a lane multiple: per-step DMA slices
     # must be 128-aligned on the minor dimension; padding lanes are masked to
-    # NEG_INF before sampling.
+    # NEG_INF before sampling.  The decoder's final_norm weight folds into
+    # the head rows (same trick as above; the rs scalar applies post-dot).
     Va = config.audio_vocab_size
     Va_pad = -(-Va // 128) * 128
+    head_dtype = params["audio_head"].dtype
+    fnw = params["decoder"]["final_norm"].astype(jnp.float32)[None, :, None]
+    head = params["audio_head"].astype(jnp.float32) * fnw
     out["audio_head"] = jnp.pad(
-        params["audio_head"], ((0, 0), (0, 0), (0, Va_pad - Va))
+        head.astype(head_dtype), ((0, 0), (0, 0), (0, Va_pad - Va))
     )  # [N-1, Dd, Va_pad]
     return out
 
@@ -139,9 +160,12 @@ def prepare_fused_decoder(params: dict, config: CSMConfig) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _rmsnorm_f32(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+def _rms_scale(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm's per-row scalar ``rsqrt(mean(x²)+eps)`` — applied to matmul
+    OUTPUTS (norm weights are folded into the matrices at prepare time), so
+    this reduce runs concurrently with the MXU dot instead of ahead of it."""
     var = jnp.mean(x * x, axis=-1, keepdims=True)
-    return x * jax.lax.rsqrt(var + eps) * w
+    return jax.lax.rsqrt(var + eps)
 
 
 def _qmm(x: jnp.ndarray, wq: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -255,9 +279,6 @@ def _decoder_pass(
     eps: float,
     w_refs: dict,
     s_refs: dict,
-    an_ref,
-    mn_ref,
-    fn_ref,
     cos_ref,
     sin_ref,
     kv_k,
@@ -266,11 +287,15 @@ def _decoder_pass(
     """One forward pass of the 4-layer decoder over ``T`` tokens of ``B``
     streams starting at absolute position ``pos0`` (all streams are
     position-aligned inside a frame), reading/writing the VMEM KV scratch.
-    Returns the final-norm hidden of each stream's LAST token ``[B, Dd]``.
+    Returns each stream's LAST hidden, final-norm-scaled, ``[B, Dd]`` —
+    ready for the (final_norm-folded) head matmul.
 
-    Batching is near-free here: the serial matvec latency dominates, and
-    extra rows ride the same MXU passes — the basis of the batched serving
-    path's aggregate throughput.
+    Norm weights are folded into the quantized matrices; each pre-norm
+    matmul consumes the raw residual stream with the rs scalar applied to
+    its output, so the norm reduce overlaps the dot.  Batching is near-free
+    here: serial matvec latency dominates, and extra rows ride the same
+    MXU passes — the basis of the batched serving path's aggregate
+    throughput.
     """
     L = dcfg.num_hidden_layers
     nq, nkv, hd = dcfg.num_attention_heads, dcfg.num_key_value_heads, dcfg.head_dim
@@ -283,8 +308,7 @@ def _decoder_pass(
     sin = jnp.broadcast_to(sin_t[None], (B, T, hd)).reshape(B * T, hd)
     h = x
     for l in range(L):
-        xn = _rmsnorm_f32(h, an_ref[l], eps)
-        qkv = _qmm(xn, w_refs["wqkv"][l], s_refs["wqkv"][l])
+        qkv = _qmm(h, w_refs["wqkv"][l], s_refs["wqkv"][l]) * _rms_scale(h, eps)
         q = qkv[:, : nq * hd].reshape(B * T, nq, hd)
         k = qkv[:, nq * hd : (nq + nkv) * hd].reshape(B * T, nkv, hd)
         v = qkv[:, (nq + nkv) * hd :].reshape(B * T, nkv, hd)
@@ -301,12 +325,11 @@ def _decoder_pass(
             attns.append(_attend(qb, kv_k[l, b], kv_v[l, b], pos0))
         attn = jnp.concatenate(attns, axis=0) if B > 1 else attns[0]
         h = h + _qmm(attn, w_refs["wo"][l], s_refs["wo"][l])
-        xn = _rmsnorm_f32(h, mn_ref[l], eps)
-        gu = _qmm(xn, w_refs["w_gu"][l], s_refs["w_gu"][l])
+        gu = _qmm(h, w_refs["w_gu"][l], s_refs["w_gu"][l]) * _rms_scale(h, eps)
         gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
         h = h + _qmm(gated, w_refs["w_down"][l], s_refs["w_down"][l])
     h_last = h.reshape(B, T, Dd)[:, T - 1, :]  # [B, Dd]
-    return _rmsnorm_f32(h_last, fn_ref[:], eps)
+    return h_last * _rms_scale(h_last, eps)
 
 
 def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int):
@@ -324,9 +347,8 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
     def kernel(
         temp_ref,  # SMEM (1,) f32
         x_prefill_ref,  # VMEM (B, 2, Dd) f32
-        wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused projections)
+        wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused, norm-folded)
         sqkv, so, sgu, sd,  # VMEM f32 [L, 1, N]
-        an_ref, mn_ref, fn_ref,  # VMEM f32 norms
         cos_ref, sin_ref,  # VMEM f32 [P, hd]
         gumbel_ref,  # VMEM f32 [N-1, B, Va_pad]
         head_hbm,  # ANY [N-1, Dd, Va_pad]
@@ -358,8 +380,7 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
         # (reference modeling_csm.py:536-552); inputs were projected outside.
         h_last = _decoder_pass(
             x_prefill_ref[:].reshape(B * 2, Dd), 0, B, 2, dcfg, eps,
-            w_refs, s_refs, an_ref, mn_ref, fn_ref, cos_ref, sin_ref,
-            kv_k, kv_v,
+            w_refs, s_refs, cos_ref, sin_ref, kv_k, kv_v,
         )
 
         col = jax.lax.broadcasted_iota(jnp.int32, (B, N - 1), 1)
@@ -403,7 +424,7 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
             x = emb_buf[:].astype(jnp.float32).reshape(B, Dd)
             h_next = _decoder_pass(
                 x, i + 1, B, 1, dcfg, eps, w_refs, s_refs,
-                an_ref, mn_ref, fn_ref, cos_ref, sin_ref, kv_k, kv_v,
+                cos_ref, sin_ref, kv_k, kv_v,
             )
             return h_next, samples
 
@@ -454,7 +475,7 @@ def fused_decode_codebooks(
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM), vm]
         + [vm] * (2 * len(_KERNEL_MATS))
-        + [vm] * 5  # norms + rope
+        + [vm] * 2  # rope tables
         + [vm]  # gumbel
         + [pl.BlockSpec(memory_space=pl.ANY)] * 2  # head, emb tables
     )
@@ -484,7 +505,6 @@ def fused_decode_codebooks(
         jnp.asarray(temperature, jnp.float32).reshape(1),
         x_prefill.astype(jnp.float32),
         *weights,
-        qdec["attn_norm"], qdec["mlp_norm"], qdec["final_norm"],
         qdec["cos"], qdec["sin"],
         gumbel,
         qdec["audio_head"],
@@ -535,10 +555,12 @@ def emulate_decode_codebooks(
         c = jax.lax.dynamic_slice_in_dim(cos, pos0, T, 0)
         s = jax.lax.dynamic_slice_in_dim(sin, pos0, T, 0)
         for l in range(L):
-            xn = _rmsnorm_f32(h, qdec["attn_norm"][l], eps)
-            q = _qmm(xn, qdec["w"]["wq"][l], qdec["s"]["wq"][l]).reshape(T, nq, hd)
-            k = _qmm(xn, qdec["w"]["wk"][l], qdec["s"]["wk"][l]).reshape(T, nkv, hd)
-            v = _qmm(xn, qdec["w"]["wv"][l], qdec["s"]["wv"][l]).reshape(T, nkv, hd)
+            # Norm weights live inside the quantized matrices; the rs
+            # scalar applies to the matmul OUTPUT (kernel-identical math).
+            rs = _rms_scale(h, eps)
+            q = (_qmm(h, qdec["w"]["wq"][l], qdec["s"]["wq"][l]) * rs).reshape(T, nq, hd)
+            k = (_qmm(h, qdec["w"]["wk"][l], qdec["s"]["wk"][l]) * rs).reshape(T, nkv, hd)
+            v = (_qmm(h, qdec["w"]["wv"][l], qdec["s"]["wv"][l]) * rs).reshape(T, nkv, hd)
             q = _rope_f32(q, c, s)
             k = _rope_f32(k, c, s)
             kv_k = jax.lax.dynamic_update_slice(
@@ -551,14 +573,14 @@ def emulate_decode_codebooks(
             )
             attn = _attend(q, kv_k[l], kv_v[l], pos0)
             h = h + _qmm(attn, qdec["w"]["wo"][l], qdec["s"]["wo"][l])
-            xn = _rmsnorm_f32(h, qdec["mlp_norm"][l], eps)
-            gate = _qmm(xn, qdec["w"]["w_gate"][l], qdec["s"]["w_gate"][l])
-            up = _qmm(xn, qdec["w"]["w_up"][l], qdec["s"]["w_up"][l])
+            rs = _rms_scale(h, eps)
+            gate = _qmm(h, qdec["w"]["w_gate"][l], qdec["s"]["w_gate"][l]) * rs
+            up = _qmm(h, qdec["w"]["w_up"][l], qdec["s"]["w_up"][l]) * rs
             h = h + _qmm(
                 jax.nn.silu(gate) * up, qdec["w"]["w_down"][l], qdec["s"]["w_down"][l]
             )
         h_last = h[T - 1 : T, :]
-        return kv_k, kv_v, _rmsnorm_f32(h_last, qdec["final_norm"], eps)
+        return kv_k, kv_v, h_last * _rms_scale(h_last, eps)
 
     kv_k, kv_v, h_last = dec_pass(kv_k, kv_v, x_prefill.astype(jnp.float32), 0, 2)
 

@@ -281,3 +281,29 @@ def test_dataset_loads_non_wav(tmp_path):
     wave = load_audio_mono(str(path), 24000)  # decode + resample 48k->24k
     assert wave.shape[0] == n // 2
     assert np.isfinite(wave).all()
+
+
+def test_flac_decoder_rejects_garbage(tmp_path):
+    """Malformed/truncated FLAC inputs return error codes — never crash,
+    never hand back uninitialized audio."""
+    from csm_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(7)
+    cases = {
+        "empty": b"",
+        "short": b"fL",
+        "bad_magic": b"NOPE" + bytes(rng.integers(0, 256, 64, dtype=np.uint8)),
+        "magic_only": b"fLaC",
+        "garbage_meta": b"fLaC" + bytes(rng.integers(0, 256, 128, dtype=np.uint8)),
+    }
+    # A valid stream truncated mid-frame.
+    x = np.cumsum(rng.integers(-50, 51, 256)).clip(-32768, 32767).astype(np.int64)
+    good = _encode_flac([x], 24000, "fixed1")
+    cases["truncated"] = good[: len(good) // 2]
+    for name, blob in cases.items():
+        p = tmp_path / f"{name}.flac"
+        p.write_bytes(blob)
+        with pytest.raises(IOError):
+            native._read_via("flac_read", str(p))
