@@ -20,7 +20,8 @@ v5e's 819 GB/s.  This kernel loads the decoder ONCE per frame:
   computed once at prepare time), so the per-step projection matmul
   disappears;
 - top-k sampling runs in-kernel: the exact k-th largest logit is found by a
-  32-step bisection over the float bit pattern, then a Gumbel-max draw uses
+  16-step bisection over the (bf16-rounded) float bit pattern, then a
+  Gumbel-max draw uses
   noise precomputed outside with the same ``jax.random`` keys the XLA path
   would consume (:mod:`csm_tpu.ops.sampling` semantics, reference
   ``modeling_csm.py:170-189``).
@@ -30,7 +31,7 @@ The per-frame HBM traffic for the intra-frame loop drops from ~6.8 GB to
 
 Numerics: the residual stream, norms, attention, and logit rescales are fp32;
 only matmul inputs are quantized.  The quantized path is **opt-in**
-(``decoder_impl="fused"`` in :func:`csm_tpu.generation.generate_compiled`);
+(``qdec=`` in :func:`csm_tpu.generation.generate_compiled`);
 greedy token parity vs the reference is guaranteed only for the default XLA
 path.  :func:`emulate_decode_codebooks` is a pure-JAX op-for-op emulator of
 this kernel used as the correctness oracle in tests (bit-exact in interpret
