@@ -112,8 +112,9 @@ def decode_frame(
     """
     B = last_h.shape[0]
     # The fused kernel is latency-bound, so batching rows through it is
-    # near-free; cap B so the per-stream KV/gumbel/embedding scratch stays a
-    # small slice of VMEM next to the resident weights.
+    # near-free UP TO one f32 sublane tile (8 rows) — measured: batch-8
+    # aggregate 1259 frames/s, batch-16 drops to 861 (the extra tile
+    # doubles every serial dot).  Larger batches use the XLA path.
     if qdec is not None and B <= 8:
         from csm_tpu.ops.fused_decoder import decode_frame_fused
 
