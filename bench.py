@@ -42,7 +42,10 @@ def _emit(metric, value, unit, vs_baseline):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=64)
+    # Default utterance: 125 frames = 10 s of audio (the README recipe's
+    # budget); short runs under-report steady state by amortizing prefill
+    # and dispatch over too few frames.
+    ap.add_argument("--frames", type=int, default=125)
     ap.add_argument("--prompt-frames", type=int, default=64)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch", type=int, default=8)

@@ -269,10 +269,11 @@ def generate_compiled(
     """
     B, S, W = input_ids.shape
     if cache_len is None:
-        # Rounded to a multiple of 64 so the flash prefill can block the
-        # cache window; the extra slots stay masked invalid.
+        # Rounded to a multiple of 128 so the flash prefill can block the
+        # cache window (the mask block's minor dim must be 128-aligned);
+        # the extra slots stay masked invalid.
         cache_len = min(config.max_seq_len, S + max_new_frames)
-        cache_len = ((cache_len + 63) // 64) * 64
+        cache_len = ((cache_len + 127) // 128) * 128
     dtype = params["backbone"]["final_norm"].dtype
 
     cache = KVCache.create(config.backbone, B, cache_len, dtype=dtype)

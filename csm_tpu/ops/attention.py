@@ -39,6 +39,13 @@ def flash_eligible(q_len: int, kv_len: int, head_dim: int) -> bool:
         return False
     if head_dim % 8 != 0:
         return False
+    # The key-validity mask's block is [1, 1, block_k]: Mosaic requires the
+    # minor block dim be a multiple of 128 or the full array dim.  (E.g. a
+    # 576-slot cache window picks block_k=64 — illegal; callers round cache
+    # windows to 128 so flash stays in play.)
+    bk = pick_block(kv_len)
+    if bk != kv_len and bk % 128 != 0:
+        return False
     if _impl == "flash":
         return True
     # auto: only on a real accelerator backend

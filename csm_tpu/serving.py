@@ -87,7 +87,7 @@ class CSMStreamer:
             mask = np.concatenate([mask, np.zeros((B, Sb - S, W), mask.dtype)], axis=1)
 
         cache_len = min(self.config.max_seq_len, Sb + max_new_frames)
-        cache_len = ((cache_len + 63) // 64) * 64
+        cache_len = ((cache_len + 127) // 128) * 128  # flash-blockable window
         dtype = self.params["backbone"]["final_norm"].dtype
         cache = KVCache.create(self.config.backbone, B, cache_len, dtype=dtype)
 
@@ -200,7 +200,8 @@ class CSMServer:
         self.params = params
         self.config = config
         self.n_slots = n_slots
-        self.window = ((min(window, config.max_seq_len) + 63) // 64) * 64
+        # 128-aligned so the flash prefill can block the window.
+        self.window = ((min(window, config.max_seq_len) + 127) // 128) * 128
         self.stop_on_all_zeros = stop_on_all_zeros
         self.default_max_new_frames = max_new_frames
 
