@@ -190,11 +190,16 @@ def backbone_forward(
     positions: Optional[jnp.ndarray] = None,
     flash_prefill: bool = False,
     qbb: Optional[dict] = None,
+    use_flash: bool = True,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Embed-sum + backbone stack.  Returns full hidden ``[B, S, D]``.
 
     ``qbb``: int8 backbone weights (:mod:`csm_tpu.ops.quant`) — the W8A8
     decode-step path (callers pass it for per-frame steps, not prefill).
+
+    ``use_flash=False`` forces the XLA attention path — REQUIRED under
+    ``jax.grad`` (the Pallas flash kernel defines no VJP); the train step
+    sets it.
 
     Per-frame attention validity is the collapsed 33-token mask
     ``any(mask) > 0`` (``modeling_csm.py:337-342``).  Positions default to
@@ -220,7 +225,7 @@ def backbone_forward(
     if cache is None:
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-        if flash_eligible(S, S, hd):
+        if use_flash and flash_eligible(S, S, hd):
             bias, flash_valid = None, frame_valid
         else:
             bias, flash_valid = llama.make_causal_bias(frame_valid, S), None
@@ -284,6 +289,7 @@ def forward(
     last_index: Optional[jnp.ndarray] = None,
     flash_prefill: bool = False,
     qbb: Optional[dict] = None,
+    use_flash: bool = True,
 ) -> CSMOutput:
     """Full forward pass with optional training losses
     (``modeling_csm.py:292-482``).
@@ -302,6 +308,7 @@ def forward(
     hidden, new_cache = backbone_forward(
         params, config, input_ids, attention_mask, cache=cache,
         positions=positions, flash_prefill=flash_prefill, qbb=qbb,
+        use_flash=use_flash,
     )
 
     head = params["codebook0_head"]

@@ -115,6 +115,9 @@ def make_train_step(
             microbatch["attention_mask"],
             labels=microbatch["labels"],
             max_decoder_frames=max_decoder_frames,
+            # The Pallas flash kernel has no VJP — gradients need the XLA
+            # attention path (flash stays on for inference/eval).
+            use_flash=False,
         )
         return out.loss, {
             "backbone_loss": out.backbone_loss,
