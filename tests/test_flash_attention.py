@@ -128,3 +128,39 @@ def test_end_to_end_forward_flash_vs_xla():
     np.testing.assert_allclose(
         np.asarray(got.logits), np.asarray(ref.logits), rtol=1e-4, atol=1e-5
     )
+
+
+def test_training_grad_path_skips_flash():
+    """Gradients must flow even when the flash impl is forced: the train
+    path passes use_flash=False because the Pallas kernel has no VJP (a
+    latent crash on real TPUs until round 2 — CPU tests never trigger
+    flash, so this guards the gating itself)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.config import CSMConfig
+    from csm_tpu.models import csm
+    from csm_tpu.ops import attention
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(3)
+    ids = np.zeros((1, 16, 33), np.int64)
+    ids[..., 32] = rng.integers(1, cfg.text_vocab_size, (1, 16))
+    mask = np.zeros((1, 16, 33), np.float32)
+    mask[..., 32] = 1
+
+    attention.set_attention_impl("flash")
+    try:
+        def loss(p):
+            return csm.forward(
+                p, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                labels=jnp.asarray(ids), max_decoder_frames=4,
+                use_flash=False,  # what make_train_step passes
+            ).loss
+
+        g = jax.grad(loss)(params)
+    finally:
+        attention.set_attention_impl("auto")
+    total = sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree.leaves(g))
+    assert np.isfinite(total) and total > 0
