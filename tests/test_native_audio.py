@@ -307,3 +307,61 @@ def test_flac_decoder_rejects_garbage(tmp_path):
         p.write_bytes(blob)
         with pytest.raises(IOError):
             native._read_via("flac_read", str(p))
+
+
+def test_mp3_stereo_decode(tmp_path):
+    """Stereo MP3 decodes to 2 channels with the right per-channel content
+    (left 440 Hz, right 880 Hz) — the dataset's stereo->mono mean then
+    applies as with any multichannel source."""
+    import ctypes
+
+    from csm_tpu import native
+    from csm_tpu.data.audio_io import load_audio
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    lame = None
+    for name in ("libmp3lame.so.0", "libmp3lame.so"):
+        try:
+            lame = ctypes.CDLL(name)
+            break
+        except OSError:
+            continue
+    if lame is None:
+        pytest.skip("libmp3lame unavailable")
+
+    rate, n = 24000, 24000
+    t = np.arange(n) / rate
+    left = (0.5 * np.sin(2 * np.pi * 440.0 * t) * 32767).astype(np.int16)
+    right = (0.5 * np.sin(2 * np.pi * 880.0 * t) * 32767).astype(np.int16)
+    inter = np.empty(2 * n, np.int16)
+    inter[0::2] = left
+    inter[1::2] = right
+
+    lame.lame_init.restype = ctypes.c_void_p
+    gf = ctypes.c_void_p(lame.lame_init())
+    lame.lame_set_in_samplerate(gf, rate)
+    lame.lame_set_num_channels(gf, 2)
+    lame.lame_set_brate(gf, 128)
+    assert lame.lame_init_params(gf) >= 0
+    buf = (ctypes.c_ubyte * (len(inter) * 2 + 7200))()
+    nw = lame.lame_encode_buffer_interleaved(
+        gf, inter.ctypes.data_as(ctypes.POINTER(ctypes.c_short)), n, buf, len(buf)
+    )
+    assert nw >= 0
+    out = bytes(buf[:nw])
+    nw = lame.lame_encode_flush(gf, buf, len(buf))
+    out += bytes(buf[:nw])
+    lame.lame_close(gf)
+    path = tmp_path / "st.mp3"
+    path.write_bytes(out)
+
+    wave, got_rate = load_audio(str(path))
+    assert got_rate == rate and wave.shape[0] == 2
+
+    def peak_hz(x):
+        spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        return np.argmax(spec) * got_rate / len(x)
+
+    assert abs(peak_hz(wave[0]) - 440.0) < 5.0
+    assert abs(peak_hz(wave[1]) - 880.0) < 5.0
