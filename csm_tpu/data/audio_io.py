@@ -96,10 +96,11 @@ def load_audio(path: str) -> Tuple[np.ndarray, int]:
     sample_rate).
 
     The native runtime sniffs magic bytes and decodes WAV (all PCM widths +
-    float), FLAC (from-scratch decoder in ``native/codecs.cpp``), and MP3
-    (system libmpg123) — covering the formats the reference pipeline gets
-    from torchaudio (``train.py:117-126``).  Without the native runtime
-    only WAV is readable (pure-Python fallback).
+    float), FLAC (from-scratch decoder in ``native/codecs.cpp``), MP3
+    (system libmpg123), and OGG/Vorbis (system libvorbisfile) — covering
+    the formats the reference pipeline gets from torchaudio
+    (``train.py:117-126``).  Without the native runtime only WAV is
+    readable (pure-Python fallback).
     """
     if _native.available():
         return _native.audio_read(path)

@@ -54,7 +54,7 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_long),
         ]
-        for fn in ("wav_read", "flac_read", "mp3_read", "audio_read"):
+        for fn in ("wav_read", "flac_read", "mp3_read", "ogg_read", "audio_read"):
             getattr(lib, fn).restype = ctypes.c_int
             getattr(lib, fn).argtypes = read_sig
         lib.wav_free.argtypes = [c_float_p]

@@ -11,10 +11,11 @@
 //     decorrelation.  CRCs are not verified (decode-for-training, not
 //     archival validation).
 //   * MP3 — decoded through the system libmpg123 (dlopen'd at runtime, no
-//     headers needed); output forced to float32.
-//   * audio_read — container sniffing (RIFF / fLaC / MP3 ID3 or frame
-//     sync) dispatching to the right decoder, so Python has one entry
-//     point for any supported file.
+//     headers needed); 16-bit output converted to float32.
+//   * OGG/Vorbis — decoded through the system libvorbisfile (dlopen'd).
+//   * audio_read — container sniffing (RIFF / fLaC / OggS / MP3 ID3 or
+//     frame sync) dispatching to the right decoder, so Python has one
+//     entry point for any supported file.
 //
 // All outputs are malloc'd interleaved float32 in [-1, 1], released with
 // wav_free (audio.cpp).
@@ -428,6 +429,89 @@ int mp3_decode(const char* path, float** out, int* channels, int* sample_rate,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// OGG/Vorbis via libvorbisfile (dlopen; no headers needed)
+// ---------------------------------------------------------------------------
+
+struct VorbisFile {
+  void* so = nullptr;
+  int (*fopen)(const char*, void*);
+  void* (*info)(void*, int);
+  long (*read_float)(void*, float***, int, int*);
+  int (*clear)(void*);
+  bool ok = false;
+};
+
+VorbisFile& vorbisfile() {
+  static VorbisFile m;
+  static bool tried = false;
+  if (tried) return m;
+  tried = true;
+  for (const char* name : {"libvorbisfile.so.3", "libvorbisfile.so"}) {
+    m.so = dlopen(name, RTLD_NOW | RTLD_GLOBAL);  // GLOBAL: pulls libvorbis
+    if (m.so) break;
+  }
+  if (!m.so) return m;
+#define LV(sym, field) \
+  *(void**)(&m.field) = dlsym(m.so, sym); \
+  if (!m.field) return m;
+  LV("ov_fopen", fopen)
+  LV("ov_info", info)
+  LV("ov_read_float", read_float)
+  LV("ov_clear", clear)
+#undef LV
+  m.ok = true;
+  return m;
+}
+
+// vorbis_info layout (LP64): int version; int channels; long rate; ...
+struct VorbisInfoHead {
+  int version;
+  int channels;
+  long rate;
+};
+
+int ogg_decode(const char* path, float** out, int* channels, int* sample_rate,
+               long* frames) {
+  VorbisFile& m = vorbisfile();
+  if (!m.ok) return -40;  // libvorbisfile unavailable
+  // OggVorbis_File is ~944 bytes; allocate generously.
+  std::vector<uint8_t> vf(4096, 0);
+  if (m.fopen(path, vf.data()) != 0) return -41;
+  const VorbisInfoHead* vi = (const VorbisInfoHead*)m.info(vf.data(), -1);
+  if (!vi || vi->channels <= 0 || vi->rate <= 0) {
+    m.clear(vf.data());
+    return -42;
+  }
+  int ch = vi->channels;
+  long rate = vi->rate;
+
+  std::vector<float> pcm;  // interleaved
+  int bitstream = 0;
+  for (;;) {
+    float** planes = nullptr;
+    long got = m.read_float(vf.data(), &planes, 4096, &bitstream);
+    if (got == 0) break;        // EOF
+    if (got < 0) continue;      // recoverable hole in stream
+    size_t base = pcm.size();
+    pcm.resize(base + (size_t)got * ch);
+    for (long i = 0; i < got; i++)
+      for (int c = 0; c < ch; c++)
+        pcm[base + (size_t)i * ch + c] = planes[c][i];
+  }
+  m.clear(vf.data());
+  if (pcm.empty()) return -43;
+
+  long n_frames = (long)(pcm.size() / ch);
+  float* res = new float[pcm.size()];
+  memcpy(res, pcm.data(), sizeof(float) * pcm.size());
+  *out = res;
+  *channels = ch;
+  *sample_rate = (int)rate;
+  *frames = n_frames;
+  return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -455,6 +539,11 @@ int mp3_read(const char* path, float** out, int* channels, int* sample_rate,
   return mp3_decode(path, out, channels, sample_rate, frames);
 }
 
+int ogg_read(const char* path, float** out, int* channels, int* sample_rate,
+             long* frames) {
+  return ogg_decode(path, out, channels, sample_rate, frames);
+}
+
 // Sniff RIFF-WAV / FLAC / MP3 (ID3 tag or bare frame sync) and decode.
 int audio_read(const char* path, float** out, int* channels, int* sample_rate,
                long* frames) {
@@ -468,6 +557,8 @@ int audio_read(const char* path, float** out, int* channels, int* sample_rate,
     return wav_read(path, out, channels, sample_rate, frames);
   if (!memcmp(magic, "fLaC", 4))
     return flac_read(path, out, channels, sample_rate, frames);
+  if (!memcmp(magic, "OggS", 4))
+    return ogg_read(path, out, channels, sample_rate, frames);
   if (!memcmp(magic, "ID3", 3) || (magic[0] == 0xFF && (magic[1] & 0xE0) == 0xE0))
     return mp3_read(path, out, channels, sample_rate, frames);
   return -30;  // unknown container

@@ -365,3 +365,108 @@ def test_mp3_stereo_decode(tmp_path):
 
     assert abs(peak_hz(wave[0]) - 440.0) < 5.0
     assert abs(peak_hz(wave[1]) - 880.0) < 5.0
+
+
+def _encode_ogg_vorbis(path, sig, rate):
+    """Encode mono float32 PCM as Ogg/Vorbis with the system libvorbisenc
+    via ctypes (fixture generator for the decoder test)."""
+    import ctypes
+
+    try:
+        libvorbis = ctypes.CDLL("libvorbis.so.0", mode=ctypes.RTLD_GLOBAL)
+        libvorbisenc = ctypes.CDLL("libvorbisenc.so.2", mode=ctypes.RTLD_GLOBAL)
+        libogg = ctypes.CDLL("libogg.so.0", mode=ctypes.RTLD_GLOBAL)
+    except OSError:
+        pytest.skip("vorbis encoder libraries unavailable")
+
+    class OggPacket(ctypes.Structure):
+        _fields_ = [("packet", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("bytes", ctypes.c_long), ("b_o_s", ctypes.c_long),
+                    ("e_o_s", ctypes.c_long), ("granulepos", ctypes.c_int64),
+                    ("packetno", ctypes.c_int64)]
+
+    class OggPage(ctypes.Structure):
+        _fields_ = [("header", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("header_len", ctypes.c_long),
+                    ("body", ctypes.POINTER(ctypes.c_ubyte)),
+                    ("body_len", ctypes.c_long)]
+
+    vi = (ctypes.c_ubyte * 256)()
+    vc = (ctypes.c_ubyte * 256)()
+    vd = (ctypes.c_ubyte * 1024)()
+    vb = (ctypes.c_ubyte * 1024)()
+    oss = (ctypes.c_ubyte * 2048)()
+
+    libvorbis.vorbis_info_init(vi)
+    assert libvorbisenc.vorbis_encode_init_vbr(
+        vi, ctypes.c_long(1), ctypes.c_long(rate), ctypes.c_float(0.4)
+    ) == 0
+    libvorbis.vorbis_comment_init(vc)
+    assert libvorbis.vorbis_analysis_init(vd, vi) == 0
+    assert libvorbis.vorbis_block_init(vd, vb) == 0
+    assert libogg.ogg_stream_init(oss, 1) == 0
+
+    out = bytearray()
+
+    def pageout(flush=False):
+        og = OggPage()
+        fn = libogg.ogg_stream_flush if flush else libogg.ogg_stream_pageout
+        while fn(oss, ctypes.byref(og)) != 0:
+            out.extend(ctypes.string_at(og.header, og.header_len))
+            out.extend(ctypes.string_at(og.body, og.body_len))
+
+    def drain():
+        while libvorbis.vorbis_analysis_blockout(vd, vb) == 1:
+            libvorbis.vorbis_analysis(vb, None)
+            libvorbis.vorbis_bitrate_addblock(vb)
+            op = OggPacket()
+            while libvorbis.vorbis_bitrate_flushpacket(vd, ctypes.byref(op)) == 1:
+                libogg.ogg_stream_packetin(oss, ctypes.byref(op))
+                pageout()
+
+    h1, h2, h3 = OggPacket(), OggPacket(), OggPacket()
+    assert libvorbis.vorbis_analysis_headerout(
+        vd, vc, ctypes.byref(h1), ctypes.byref(h2), ctypes.byref(h3)
+    ) == 0
+    for h in (h1, h2, h3):
+        libogg.ogg_stream_packetin(oss, ctypes.byref(h))
+    pageout(flush=True)
+
+    libvorbis.vorbis_analysis_buffer.restype = ctypes.POINTER(
+        ctypes.POINTER(ctypes.c_float)
+    )
+    sig = np.ascontiguousarray(sig, np.float32)
+    n, pos, CH = len(sig), 0, 1024
+    while pos < n:
+        todo = min(CH, n - pos)
+        buf = libvorbis.vorbis_analysis_buffer(vd, CH)
+        ctypes.memmove(buf[0], sig[pos:pos + todo].ctypes.data, todo * 4)
+        libvorbis.vorbis_analysis_wrote(vd, todo)
+        drain()
+        pos += todo
+    libvorbis.vorbis_analysis_wrote(vd, 0)  # EOS
+    drain()
+    pageout(flush=True)
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
+def test_ogg_vorbis_decode(tmp_path):
+    from csm_tpu import native
+    from csm_tpu.data.audio_io import load_audio
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rate, n, freq = 24000, 24000, 440.0
+    t = np.arange(n) / rate
+    sig = 0.5 * np.sin(2 * np.pi * freq * t)
+    path = tmp_path / "t.ogg"
+    _encode_ogg_vorbis(str(path), sig, rate)
+
+    wave, got_rate = load_audio(str(path))
+    assert got_rate == rate and wave.shape[0] == 1
+    # Vorbis is lossy but sample-exact in length with proper EOS.
+    assert abs(wave.shape[1] - n) <= 128
+    spec = np.abs(np.fft.rfft(wave[0] * np.hanning(wave.shape[1])))
+    peak_hz = np.argmax(spec) * got_rate / wave.shape[1]
+    assert abs(peak_hz - freq) < 5.0
