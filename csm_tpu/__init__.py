@@ -21,23 +21,41 @@ Public surface (mirrors the reference's API at
   backbone decode, top-k (Gumbel) sampling, stop-on-all-zeros.
 - :mod:`csm_tpu.data.processor` — ``CSMProcessor``: interleaved text+audio
   framing into ``[B, S, 33]`` with labels and decoder amortization.
-- :mod:`csm_tpu.train` — pjit data-parallel training loop (optax + orbax).
-- :mod:`csm_tpu.codec` — Mimi RVQ codec (encode/decode) in JAX.
+- :mod:`csm_tpu.train` — pjit DP×TP training loop (optax + orbax), LoRA
+  adapters (:mod:`csm_tpu.train.lora`).
+- :mod:`csm_tpu.codec` — Mimi RVQ codec (encode/decode + exact streaming)
+  in JAX.
 - :mod:`csm_tpu.checkpoint` — HF/torch state-dict ⇄ JAX pytree converters,
   orbax save/load.
+- :mod:`csm_tpu.serving` — frame streamer + continuous-batching
+  :class:`CSMServer` (mid-flight admission, per-stream RNG).
+- :mod:`csm_tpu.ops.fused_decoder` / :mod:`csm_tpu.ops.quant` — the
+  VMEM-resident int8 intra-frame decoder kernel and the W8A16 int8
+  backbone path (``prepare_fused_decoder`` / ``prepare_quantized_backbone``
+  bundles passed to ``generate``/``CSMServer`` as ``qdec=``/``qbb=``).
 """
 
 from csm_tpu.config import CSMConfig, LlamaConfig
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
-__all__ = ["CSMConfig", "LlamaConfig", "CSMModel", "__version__"]
+__all__ = [
+    "CSMConfig", "LlamaConfig", "CSMModel", "CSMServer", "CSMStreamer",
+    "__version__",
+]
+
+_LAZY = {
+    "CSMModel": ("csm_tpu.model_api", "CSMModel"),
+    "CSMServer": ("csm_tpu.serving", "CSMServer"),
+    "CSMStreamer": ("csm_tpu.serving", "CSMStreamer"),
+}
 
 
 def __getattr__(name):
-    # Lazy: importing the class API pulls in jax-heavy modules.
-    if name == "CSMModel":
-        from csm_tpu.model_api import CSMModel
+    # Lazy: importing these pulls in jax-heavy modules.
+    if name in _LAZY:
+        import importlib
 
-        return CSMModel
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
     raise AttributeError(name)
