@@ -91,7 +91,7 @@ def main():
         qdec = jax.jit(lambda p: prepare_fused_decoder(p, config))(params)
         qbb = jax.jit(lambda p: prepare_quantized_backbone(p, config))(params)
         np.asarray(qdec["s"]["wq"])
-        np.asarray(qbb["s"]["wq"])
+        np.asarray(qbb["s"]["wqkv"])
 
     def prompt(batch):
         ids = np.zeros((batch, S, config.frame_width), np.int32)

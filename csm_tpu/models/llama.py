@@ -183,8 +183,10 @@ def _layer(
     bias-masked XLA path.
 
     ``qlayer``: this layer's int8 weights+scales
-    (:mod:`csm_tpu.ops.quant`); when given, the seven matmuls run W8A8 on
-    the int8 MXU path — half the HBM weight traffic of bf16.
+    (:mod:`csm_tpu.ops.quant`); when given, the matmuls run W8A16 on the
+    int8 MXU path — half the HBM weight traffic of bf16, and Q/K/V and
+    gate/up arrive pre-fused (4 dots/layer instead of 7 at the
+    latency-bound decode step).
     """
     B, S, D = h.shape
     nq, nkv, hd = config.num_attention_heads, config.num_key_value_heads, config.head_dim
@@ -199,9 +201,15 @@ def _layer(
             return x @ lp[name]
 
     x = rmsnorm(h, lp["attn_norm"], config.rms_norm_eps)
-    q = mm(x, "wq").reshape(B, S, nq, hd)
-    k = mm(x, "wk").reshape(B, S, nkv, hd)
-    v = mm(x, "wv").reshape(B, S, nkv, hd)
+    if qlayer is not None:
+        qkv = mm(x, "wqkv")
+        q = qkv[..., : nq * hd].reshape(B, S, nq, hd)
+        k = qkv[..., nq * hd : (nq + nkv) * hd].reshape(B, S, nkv, hd)
+        v = qkv[..., (nq + nkv) * hd :].reshape(B, S, nkv, hd)
+    else:
+        q = mm(x, "wq").reshape(B, S, nq, hd)
+        k = mm(x, "wk").reshape(B, S, nkv, hd)
+        v = mm(x, "wv").reshape(B, S, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -239,7 +247,12 @@ def _layer(
 
     h = h + mm(attn, "wo")
     x = rmsnorm(h, lp["mlp_norm"], config.rms_norm_eps)
-    gated = jax.nn.silu(mm(x, "w_gate")) * mm(x, "w_up")
+    if qlayer is not None:
+        gu = mm(x, "w_gu")
+        F = config.intermediate_size
+        gated = jax.nn.silu(gu[..., :F]) * gu[..., F:]
+    else:
+        gated = jax.nn.silu(mm(x, "w_gate")) * mm(x, "w_up")
     h = h + mm(gated, "w_down")
     return h, new_cache
 

@@ -203,32 +203,70 @@ def _attend(
     v_all: jnp.ndarray,  # [nkv, S, hd]
     pos0,  # scalar: absolute position of q row 0
 ) -> jnp.ndarray:
-    """Causal GQA over the static window.  Returns ``[T, nq*hd]`` f32."""
+    """Causal GQA over the static window.  Returns ``[T, nq*hd]`` f32.
+
+    Single-stream form of :func:`_attend_merged` (kept as the emulator's
+    call shape)."""
     T, nq, hd = q.shape
     nkv, S, _ = k_all.shape
+    k_cat = k_all.transpose(1, 0, 2).reshape(S, nkv * hd)
+    v_cat = v_all.transpose(1, 0, 2).reshape(S, nkv * hd)
+    return _attend_merged(q[None], k_cat, v_cat, pos0, nkv).reshape(T, nq * hd)
+
+
+def _attend_merged(
+    q: jnp.ndarray,  # [B, T, nq, hd] f32 (rotated)
+    k_cat: jnp.ndarray,  # [S, B*nkv*hd] f32 — cache windows, merged layout
+    v_cat: jnp.ndarray,  # [S, B*nkv*hd]
+    pos0,  # scalar: absolute position of q row 0 (streams are aligned)
+    nkv: int,
+) -> jnp.ndarray:
+    """Causal GQA for ALL streams and KV heads in TWO dots (block-diagonal).
+
+    The kernel is latency-bound on serial MXU issues: a per-(stream,
+    kv-head) loop costs ``B*nkv*2`` tiny dots per layer (32 at B=8, the
+    batched path's dominant overhead).  Instead, queries are scattered into
+    a block-diagonal ``[B*T*nq, B*nkv*hd]`` operand whose row (b,t,i) holds
+    q[b,t,i] in column block (b, j=i//g) and zeros elsewhere; one dot
+    against the concatenated keys ``[S, B*nkv*hd]`` yields every stream's
+    scores, and one dot of the softmaxed probs against the concatenated
+    values yields outputs, recovered by masking the off-block columns and
+    summing.  The zero blocks contribute exact fp 0.0 partials, so results
+    are bit-identical to the looped form.  Returns ``[B, T, nq*hd]`` f32.
+    """
+    B, T, nq, hd = q.shape
+    S = k_cat.shape[0]
     g = nq // nkv
     scale = 1.0 / (hd ** 0.5)
-    outs = []
-    qpos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (T * g, S), 0) // g
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (T * g, S), 1)
-    mask = kpos <= qpos
-    for j in range(nkv):
-        qj = q[:, j * g : (j + 1) * g, :].reshape(T * g, hd)
-        scores = jax.lax.dot_general(
-            qj, k_all[j], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [T*g, S]
-        scores = jnp.where(mask, scores, NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = e / jnp.sum(e, axis=-1, keepdims=True)
-        outs.append(
-            jax.lax.dot_general(
-                probs, v_all[j], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(T, g * hd)
-        )
-    return jnp.concatenate(outs, axis=-1)
+    R = B * T * nq  # score rows, ordered (b, t, i)
+    C = B * nkv  # column blocks, ordered (b, j)
+
+    # block(b,t,i) -> b*nkv + i//g : the column block row r attends to.
+    row_block = (
+        jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) // (T * nq) * nkv
+        + jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) % nq // g
+    )
+    col_block = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    bmask = (row_block == col_block).astype(jnp.float32)  # [R, C]
+
+    qz = q.reshape(R, 1, hd) * bmask[:, :, None]  # [R, C, hd]
+
+    scores = jax.lax.dot_general(
+        qz.reshape(R, C * hd), k_cat, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [R, S]
+    qpos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (R, S), 0) % (T * nq) // nq
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (R, S), 1)
+    scores = jnp.where(kpos <= qpos, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs, v_cat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, C*hd] — row (b,t,i)'s true output sits in column block (b, i//g)
+    out = jnp.sum(out.reshape(R, C, hd) * bmask[:, :, None], axis=1)  # [R, hd]
+    return out.reshape(B, T, nq * hd)
 
 
 def _sample_row(
@@ -259,9 +297,11 @@ def _sample_row(
         cnt = jnp.sum((ukey >= cand).astype(jnp.int32), axis=-1, keepdims=True)
         return jnp.where(cnt >= topk, cand, t)
 
-    kth = jax.lax.fori_loop(
-        0, 16, bit_body, jnp.zeros((logits.shape[0], 1), jnp.uint32)
-    )
+    # Statically unrolled (16 fixed steps): lets the compiler software-
+    # pipeline the compare/reduce chain instead of a sequential fori_loop.
+    kth = jnp.zeros((logits.shape[0], 1), jnp.uint32)
+    for b in range(16):
+        kth = bit_body(b, kth)
     filtered = jnp.where(ukey >= kth, scaled, NEG_INF)
     return jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
 
@@ -293,7 +333,10 @@ def _decoder_pass(
 
     Norm weights are folded into the quantized matrices; each pre-norm
     matmul consumes the raw residual stream with the rs scalar applied to
-    its output, so the norm reduce overlaps the dot.  Batching is near-free
+    its output, so the norm reduce overlaps the dot.  Attention for ALL
+    streams and KV heads is two block-diagonal dots per layer
+    (:func:`_attend_merged`); the KV scratch is stored pre-merged as
+    ``[L, P, B*nkv*hd]`` so reads need no transpose.  Batching is near-free
     here: serial matvec latency dominates, and extra rows ride the same
     MXU passes — the basis of the batched serving path's aggregate
     throughput.
@@ -312,19 +355,23 @@ def _decoder_pass(
         qkv = _qmm(h, w_refs["wqkv"][l], s_refs["wqkv"][l]) * _rms_scale(h, eps)
         q = qkv[:, : nq * hd].reshape(B * T, nq, hd)
         k = qkv[:, nq * hd : (nq + nkv) * hd].reshape(B * T, nkv, hd)
-        v = qkv[:, (nq + nkv) * hd :].reshape(B * T, nkv, hd)
         q = _rope_f32(q, cos, sin)
         k = _rope_f32(k, cos, sin)
-        k4 = k.reshape(B, T, nkv, hd)
-        v4 = v.reshape(B, T, nkv, hd)
-        attns = []
-        for b in range(B):
-            for j in range(nkv):
-                kv_k[l, b, j, pl.ds(pos0, T), :] = k4[b, :, j, :]
-                kv_v[l, b, j, pl.ds(pos0, T), :] = v4[b, :, j, :]
-            qb = q.reshape(B, T, nq, hd)[b]
-            attns.append(_attend(qb, kv_k[l, b], kv_v[l, b], pos0))
-        attn = jnp.concatenate(attns, axis=0) if B > 1 else attns[0]
+        # Write rows into the merged window layout: row = position, columns
+        # = (stream, kv head, hd).  k/v rows arrive stream-major (b*T + t);
+        # the [B, T] -> [T, B] swap is a tiny VPU shuffle (T <= 2).
+        k_rows = k.reshape(B, T, nkv * hd).swapaxes(0, 1).reshape(T, B * nkv * hd)
+        v_rows = (
+            qkv[:, (nq + nkv) * hd :]
+            .reshape(B, T, nkv * hd)
+            .swapaxes(0, 1)
+            .reshape(T, B * nkv * hd)
+        )
+        kv_k[l, pl.ds(pos0, T), :] = k_rows
+        kv_v[l, pl.ds(pos0, T), :] = v_rows
+        attn = _attend_merged(
+            q.reshape(B, T, nq, hd), kv_k[l], kv_v[l], pos0, nkv
+        ).reshape(B * T, nq * hd)
         h = h + _qmm(attn, w_refs["wo"][l], s_refs["wo"][l])
         gu = _qmm(h, w_refs["w_gu"][l], s_refs["w_gu"][l]) * _rms_scale(h, eps)
         gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
@@ -357,7 +404,7 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
         samples_ref,  # out VMEM (B, N-1) int32
         head_buf,  # scratch VMEM (2, Dd, Va_pad) head_dtype
         emb_buf,  # scratch VMEM (B, sub, lanes) emb dtype
-        kv_k, kv_v,  # scratch VMEM (L, B, nkv, P, hd) f32
+        kv_k, kv_v,  # scratch VMEM (L, P, B*nkv*hd) f32 — merged layout
         head_sem,  # DMA sem (2,)
         emb_sem,  # DMA sem (B,)
     ):
@@ -387,15 +434,10 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
         col = jax.lax.broadcasted_iota(jnp.int32, (B, N - 1), 1)
         vcol = jax.lax.broadcasted_iota(jnp.int32, (B, Va_pad), 1)
 
-        def step(i, carry):
-            h_last, samples = carry
+        def classify(h_last, i):
+            """Head matmul + sample for codebook ``i`` (head slice i-1)."""
             slot = (i - 1) % 2
             head_dma(slot, i - 1).wait()
-
-            @pl.when(i < N - 1)
-            def _():
-                head_dma(i % 2, i).start()
-
             logits = jax.lax.dot_general(
                 h_last.astype(head_dtype), head_buf[slot],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -405,14 +447,16 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
             # the zero-padded vocab lanes out of contention.
             logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
             logits = jnp.where(vcol < Va, logits, NEG_INF)
-            ci = _sample_row(logits, gumbel_ref[i - 1], temp, topk, greedy)
+            return _sample_row(logits, gumbel_ref[i - 1], temp, topk, greedy)
+
+        def step(i, carry):  # i ∈ [1, N-2]: classify + advance the decoder
+            h_last, samples = carry
+            head_dma(i % 2, i).start()  # i ≤ N-2 always has a next slice
+            ci = classify(h_last, i)
             samples = jnp.where(col == i - 1, ci[:, None], samples)
 
             # Fetch the pre-projected embedding of each stream's ci
             # (codebook-i offset) and run one decoder step at position i+1.
-            # The i == N-1 step's output is unused (the reference also skips
-            # the trailing step) — running it unconditionally keeps the loop
-            # body uniform.
             rows = ci + i * Va  # [B]
             for b in range(B):
                 pltpu.make_async_copy(
@@ -430,8 +474,12 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
             return h_next, samples
 
         samples0 = jnp.zeros((B, N - 1), jnp.int32)
-        _, samples = jax.lax.fori_loop(1, N, step, (h_last, samples0))
-        samples_ref[:] = samples
+        h_last, samples = jax.lax.fori_loop(1, N - 1, step, (h_last, samples0))
+        # Final codebook: classification only — the reference also skips the
+        # trailing decoder step (modeling_csm.py:562-576), so the 32nd pass
+        # the loop used to run was pure waste (~3% of kernel time).
+        c_last = classify(h_last, N - 1)
+        samples_ref[:] = jnp.where(col == N - 2, c_last[:, None], samples)
 
     return kernel
 
@@ -493,8 +541,8 @@ def fused_decode_codebooks(
         scratch_shapes=[
             pltpu.VMEM((2, Dd, Va_pad), head_dtype),
             pltpu.VMEM((B, sub, lanes), qdec["proj_emb"].dtype),
-            pltpu.VMEM((L, B, nkv, P, hd), jnp.float32),
-            pltpu.VMEM((L, B, nkv, P, hd), jnp.float32),
+            pltpu.VMEM((L, P, B * nkv * hd), jnp.float32),
+            pltpu.VMEM((L, P, B * nkv * hd), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((B,)),
         ],

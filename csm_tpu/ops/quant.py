@@ -53,10 +53,21 @@ def prepare_quantized_backbone(params: dict, config: CSMConfig) -> dict:
     Returns ``{"w": {name: int8 [L, K, N]}, "s": {name: f32 [L, 1, N]}}`` —
     the shape contract of :func:`csm_tpu.models.llama.forward`'s ``qlayers``
     argument (stacked on the layer axis, scanned alongside the layers).
+
+    Q/K/V and gate/up ship as fused ``wqkv`` / ``w_gu`` projections — one
+    MXU dot each instead of 3 + 2 at the latency-bound decode step.
+    Per-output-channel scales make the concatenation bit-identical to the
+    separate matmuls (each column keeps its own scale), mirroring
+    :func:`csm_tpu.ops.fused_decoder.prepare_fused_decoder`.
     """
     out = {"w": {}, "s": {}}
     for name in _MATS:
         q, s = quantize_per_channel(params["backbone"]["layers"][name])
         out["w"][name] = q
         out["s"][name] = s
+    for fused, parts in (("wqkv", ("wq", "wk", "wv")), ("w_gu", ("w_gate", "w_up"))):
+        out["w"][fused] = jnp.concatenate([out["w"][p] for p in parts], axis=-1)
+        out["s"][fused] = jnp.concatenate([out["s"][p] for p in parts], axis=-1)
+        for p in parts:  # the scan must not carry the separate forms
+            del out["w"][p], out["s"][p]
     return out
