@@ -50,7 +50,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from csm_tpu.config import CSMConfig
 from csm_tpu.ops.rope import compute_rope_table
-from csm_tpu.ops.sampling import sample_topk
 
 NEG_INF = -1e9
 
@@ -279,9 +278,23 @@ def _sample_row(
     """One Gumbel-top-k draw per row (ties at the k-th value kept, as in
     :func:`csm_tpu.ops.sampling.topk_mask`).  Each row's k-th largest value
     is found EXACTLY by bisection over orderable float bit patterns — no
-    sort.  Returns ``[B]`` int32."""
+    sort.  Returns ``[B]`` int32.
+
+    Argmax is spelled as "smallest index among the maxima": bf16-rounded
+    logits make EXACT ties common (~2051 values land in a few hundred bf16
+    buckets), and Mosaic's native argmax lowering breaks ties differently
+    from XLA's first-occurrence rule — the explicit min-where form is
+    deterministic and identical on every backend."""
+
+    def first_argmax(x):
+        m = jnp.max(x, axis=-1, keepdims=True)
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.min(
+            jnp.where(x == m, idx, jnp.int32(2**30)), axis=-1
+        ).astype(jnp.int32)
+
     if greedy:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return first_argmax(logits)
     scaled = logits / jnp.maximum(temperature, 1e-6)
     # Select on the RAW logits (temperature scaling is monotonic, so the
     # top-k set is identical).  The logits arrive bf16-rounded, so every
@@ -303,7 +316,7 @@ def _sample_row(
     for b in range(16):
         kth = bit_body(b, kth)
     filtered = jnp.where(ukey >= kth, scaled, NEG_INF)
-    return jnp.argmax(filtered + gumbel, axis=-1).astype(jnp.int32)
+    return first_argmax(filtered + gumbel)
 
 
 # ---------------------------------------------------------------------------
@@ -394,14 +407,15 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
 
     def kernel(
         temp_ref,  # SMEM (1,) f32
-        x_prefill_ref,  # VMEM (B, 2, Dd) f32
+        x0_ref,  # VMEM (B, Dd) f32 — proj(last_h)
+        c0lg_ref,  # VMEM (B, Va_pad) f32 — backbone c0 logits (bf16-rounded)
         wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused, norm-folded)
         sqkv, so, sgu, sd,  # VMEM f32 [L, 1, N]
         cos_ref, sin_ref,  # VMEM f32 [P, hd]
-        gumbel_ref,  # VMEM f32 [N-1, B, Va_pad]
+        gumbel_ref,  # VMEM f32 [N, B, Va_pad] — row i: codebook i's noise
         head_hbm,  # ANY [N-1, Dd, Va_pad]
         emb_hbm,  # ANY [rows, sub, lanes]
-        samples_ref,  # out VMEM (B, N-1) int32
+        samples_ref,  # out VMEM (B, N) int32
         head_buf,  # scratch VMEM (2, Dd, Va_pad) head_dtype
         emb_buf,  # scratch VMEM (B, sub, lanes) emb dtype
         kv_k, kv_v,  # scratch VMEM (L, P, B*nkv*hd) f32 — merged layout
@@ -417,6 +431,19 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
                 head_hbm.at[i], head_buf.at[slot], head_sem.at[slot]
             )
 
+        def fetch_embeds(rows):
+            """Data-dependent DMA of each stream's pre-projected embedding
+            row; returns [B, Dd] f32."""
+            for b in range(B):
+                pltpu.make_async_copy(
+                    emb_hbm.at[rows[b]], emb_buf.at[b], emb_sem.at[b]
+                ).start()
+            for b in range(B):
+                pltpu.make_async_copy(
+                    emb_hbm.at[rows[b]], emb_buf.at[b], emb_sem.at[b]
+                ).wait()
+            return emb_buf[:].astype(jnp.float32).reshape(B, Dd)
+
         # Zero the KV scratch (uninitialized VMEM may hold junk; masked
         # attention tolerates it but the emulator contract is zeros).
         kv_k[...] = jnp.zeros(kv_k.shape, kv_k.dtype)
@@ -424,15 +451,33 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
 
         head_dma(0, 0).start()
 
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
+        vcol = jax.lax.broadcasted_iota(jnp.int32, (B, Va_pad), 1)
+
+        # c0: sampled IN-KERNEL from the backbone's logits — the semantics
+        # (and, for bf16-rounded logits, the exact draw) of
+        # ops.sampling.sample_topk with this frame's keys[0] noise.  Moving
+        # it here takes the whole c0-sample -> embed -> prefill-build chain
+        # off the XLA critical path (~0.5 ms of tiny serialized ops).
+        lg0 = jnp.where(vcol < Va, c0lg_ref[:], NEG_INF)
+        c0 = _sample_row(lg0, gumbel_ref[0], temp, topk, greedy)  # [B]
+        samples0 = jnp.where(col == 0, c0[:, None], 0)
+
         # Decoder prefill: [proj(last_h); proj(embed(c0))] at positions 0..1
-        # (reference modeling_csm.py:536-552); inputs were projected outside.
+        # (reference modeling_csm.py:536-552); rows stream-major (b*2 + t).
+        x1 = fetch_embeds(c0)  # codebook-0 offset is 0
+        if B == 1:
+            x_prefill = jnp.concatenate([x0_ref[:], x1], axis=0)
+        else:
+            rows2 = []
+            for b in range(B):
+                rows2.append(x0_ref[b : b + 1, :])
+                rows2.append(x1[b : b + 1, :])
+            x_prefill = jnp.concatenate(rows2, axis=0)
         h_last = _decoder_pass(
-            x_prefill_ref[:].reshape(B * 2, Dd), 0, B, 2, dcfg, eps,
+            x_prefill, 0, B, 2, dcfg, eps,
             w_refs, s_refs, cos_ref, sin_ref, kv_k, kv_v,
         )
-
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, N - 1), 1)
-        vcol = jax.lax.broadcasted_iota(jnp.int32, (B, Va_pad), 1)
 
         def classify(h_last, i):
             """Head matmul + sample for codebook ``i`` (head slice i-1)."""
@@ -447,39 +492,29 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
             # the zero-padded vocab lanes out of contention.
             logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
             logits = jnp.where(vcol < Va, logits, NEG_INF)
-            return _sample_row(logits, gumbel_ref[i - 1], temp, topk, greedy)
+            return _sample_row(logits, gumbel_ref[i], temp, topk, greedy)
 
         def step(i, carry):  # i ∈ [1, N-2]: classify + advance the decoder
             h_last, samples = carry
             head_dma(i % 2, i).start()  # i ≤ N-2 always has a next slice
             ci = classify(h_last, i)
-            samples = jnp.where(col == i - 1, ci[:, None], samples)
+            samples = jnp.where(col == i, ci[:, None], samples)
 
             # Fetch the pre-projected embedding of each stream's ci
             # (codebook-i offset) and run one decoder step at position i+1.
-            rows = ci + i * Va  # [B]
-            for b in range(B):
-                pltpu.make_async_copy(
-                    emb_hbm.at[rows[b]], emb_buf.at[b], emb_sem.at[b]
-                ).start()
-            for b in range(B):
-                pltpu.make_async_copy(
-                    emb_hbm.at[rows[b]], emb_buf.at[b], emb_sem.at[b]
-                ).wait()
-            x = emb_buf[:].astype(jnp.float32).reshape(B, Dd)
+            x = fetch_embeds(ci + i * Va)
             h_next = _decoder_pass(
                 x, i + 1, B, 1, dcfg, eps, w_refs, s_refs,
                 cos_ref, sin_ref, kv_k, kv_v,
             )
             return h_next, samples
 
-        samples0 = jnp.zeros((B, N - 1), jnp.int32)
         h_last, samples = jax.lax.fori_loop(1, N - 1, step, (h_last, samples0))
         # Final codebook: classification only — the reference also skips the
         # trailing decoder step (modeling_csm.py:562-576), so the 32nd pass
         # the loop used to run was pure waste (~3% of kernel time).
         c_last = classify(h_last, N - 1)
-        samples_ref[:] = jnp.where(col == N - 2, c_last[:, None], samples)
+        samples_ref[:] = jnp.where(col == N - 1, c_last[:, None], samples)
 
     return kernel
 
@@ -490,15 +525,17 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
 def fused_decode_codebooks(
     qdec: dict,
     config: CSMConfig,
-    x_prefill: jnp.ndarray,  # [B, 2, Dd] f32 — projected [last_h; embed(c0)]
-    gumbel: jnp.ndarray,  # [N-1, B, Va] f32
+    x0: jnp.ndarray,  # [B, Dd] f32 — proj(last_h)
+    c0_logits: jnp.ndarray,  # [B, Va] f32 (bf16-rounded backbone logits)
+    gumbel: jnp.ndarray,  # [N, B, Va] f32 — row i: codebook i's noise
     temperature,  # scalar f32
     *,
     topk: int,
     greedy: bool,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Run the fused kernel; returns codebooks 1..N-1 as ``[B, N-1]`` int32."""
+    """Run the fused kernel; samples ALL ``N`` codebooks (c0 included) and
+    returns ``[B, N]`` int32."""
     dcfg = config.decoder
     N = config.audio_num_codebooks
     Va = config.audio_vocab_size
@@ -510,9 +547,12 @@ def fused_decode_codebooks(
     head_dtype = qdec["audio_head"].dtype
     lanes = min(Dd, 128)
     sub = Dd // lanes
-    B = x_prefill.shape[0]
+    B = x0.shape[0]
     gumbel = jnp.pad(
         gumbel.astype(jnp.float32), ((0, 0), (0, 0), (0, Va_pad - Va))
+    )
+    c0_logits = jnp.pad(
+        c0_logits.astype(jnp.float32), ((0, 0), (0, Va_pad - Va))
     )
 
     kernel = _make_kernel(config, topk, greedy, head_dtype, B)
@@ -522,7 +562,7 @@ def fused_decode_codebooks(
         qdec["s"][m] for m in _KERNEL_MATS
     ]
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM), vm]
+        [pl.BlockSpec(memory_space=pltpu.SMEM), vm, vm]
         + [vm] * (2 * len(_KERNEL_MATS))
         + [vm] * 2  # rope tables
         + [vm]  # gumbel
@@ -531,11 +571,14 @@ def fused_decode_codebooks(
 
     vmem_bytes = sum(int(w.size * w.dtype.itemsize) for w in weights)
     vmem_bytes += 2 * Dd * Va_pad * jnp.dtype(head_dtype).itemsize  # head_buf
-    vmem_bytes += 8 * 1024 * 1024  # temporaries, KV, slop
+    # Temporaries, KV scratch, and the VMEM inputs (gumbel [N, B, Va_pad] +
+    # c0 logits [B, Va_pad] + rope tables) — sized for B=8, which sits
+    # ~0.1 MiB under the 127 MiB cap.
+    vmem_bytes += 10 * 1024 * 1024
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, N - 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, N), jnp.int32),
         in_specs=in_specs,
         out_specs=vm,
         scratch_shapes=[
@@ -552,7 +595,8 @@ def fused_decode_codebooks(
         interpret=interpret,
     )(
         jnp.asarray(temperature, jnp.float32).reshape(1),
-        x_prefill.astype(jnp.float32),
+        x0.astype(jnp.float32),
+        c0_logits,
         *weights,
         qdec["cos"], qdec["sin"],
         gumbel,
@@ -569,16 +613,21 @@ def fused_decode_codebooks(
 def emulate_decode_codebooks(
     qdec: dict,
     config: CSMConfig,
-    x_prefill: jnp.ndarray,
-    gumbel: jnp.ndarray,
+    x0: jnp.ndarray,  # [1, Dd] f32 — proj(last_h), single stream
+    c0_logits: jnp.ndarray,  # [1, Va] f32
+    gumbel: jnp.ndarray,  # [N, 1, Va] f32
     temperature,
     *,
     topk: int,
     greedy: bool,
+    return_logits: bool = False,
 ) -> jnp.ndarray:
     """Pure-JAX replica of the kernel's exact arithmetic (same quantized
-    weights, same fp32 accumulation, same bisection top-k).  Used as the
-    test oracle; also runs on CPU."""
+    weights, same fp32 accumulation, same bisection top-k, same in-kernel
+    c0 sampling).  Used as the test oracle; also runs on CPU.  Returns
+    ``[1, N]`` int32 (with ``return_logits``: also the per-codebook
+    bf16-rounded logits ``[N, Va_pad]`` — row 0 is the c0 input — for
+    diagnosing near-tie argmax flips against the hardware kernel)."""
     dcfg = config.decoder
     eps = dcfg.rms_norm_eps
     N = config.audio_num_codebooks
@@ -591,6 +640,9 @@ def emulate_decode_codebooks(
     head_dtype = qdec["audio_head"].dtype
     gumbel = jnp.pad(
         gumbel.astype(jnp.float32), ((0, 0), (0, 0), (0, Va_pad - Va))
+    )
+    c0_logits = jnp.pad(
+        c0_logits.astype(jnp.float32), ((0, 0), (0, Va_pad - Va))
     )
     vcol = jnp.arange(Va_pad)[None, :]
 
@@ -631,9 +683,19 @@ def emulate_decode_codebooks(
         h_last = h[T - 1 : T, :]
         return kv_k, kv_v, h_last * _rms_scale(h_last, eps)
 
-    kv_k, kv_v, h_last = dec_pass(kv_k, kv_v, x_prefill.astype(jnp.float32), 0, 2)
+    # c0: in-kernel sampling semantics (padded lanes masked, raw logits)
+    lg0 = jnp.where(vcol < Va, c0_logits, NEG_INF)
+    c0 = _sample_row(
+        lg0, gumbel[0], jnp.asarray(temperature, jnp.float32), topk, greedy
+    )
+    x_prefill = jnp.concatenate(
+        [x0.astype(jnp.float32), proj_emb_flat[c0[0]][None, :].astype(jnp.float32)],
+        axis=0,
+    )
+    kv_k, kv_v, h_last = dec_pass(kv_k, kv_v, x_prefill, 0, 2)
 
-    samples = []
+    samples = [c0[0]]
+    all_logits = [lg0[0]]
     for i in range(1, N):
         logits = jax.lax.dot_general(
             h_last.astype(head_dtype), qdec["audio_head"][i - 1],
@@ -641,14 +703,18 @@ def emulate_decode_codebooks(
         )
         logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
         logits = jnp.where(vcol < Va, logits, NEG_INF)
+        all_logits.append(logits[0])
         ci = _sample_row(
-            logits, gumbel[i - 1], jnp.asarray(temperature, jnp.float32),
+            logits, gumbel[i], jnp.asarray(temperature, jnp.float32),
             topk, greedy,
         )
         samples.append(ci[0])
         x = proj_emb_flat[ci[0] + i * Va][None, :]
         kv_k, kv_v, h_last = dec_pass(kv_k, kv_v, x, i + 1, 1)
-    return jnp.stack(samples)[None, :].astype(jnp.int32)
+    out = jnp.stack(samples)[None, :].astype(jnp.int32)
+    if return_logits:
+        return out, jnp.stack(all_logits)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -671,13 +737,16 @@ def decode_frame_fused(
 ) -> jnp.ndarray:
     """Sample one frame's 32 codebooks per stream using the fused kernel.
 
-    c0 is sampled OUTSIDE the kernel with the standard path (keys[0], exact
-    :mod:`csm_tpu.ops.sampling` semantics); the Gumbel noise for codebooks
-    1..31 is drawn from keys[1..31] exactly as the XLA path would, so
-    sampled-mode distributions line up across implementations.  ``rng`` may
-    be one key (joint draws, like the reference's batched sampler) or a
-    ``[B]`` key array (per-stream draws: each row matches its solo run —
-    the continuous-batching serving contract).
+    ALL sampling — c0 included — runs in-kernel: the Gumbel noise for
+    codebook ``i`` is drawn from keys[i] exactly as the XLA path would
+    (c0's in-kernel bisection top-k equals :func:`..sampling.sample_topk`
+    bitwise on the backbone's bf16-rounded logits), so sampled-mode draws
+    line up across implementations.  Moving c0's sample + embedding fetch
+    + prefill build into the kernel removed ~0.5 ms of tiny serialized XLA
+    ops from the frame's critical path.  ``rng`` may be one key (joint
+    draws, like the reference's batched sampler) or a ``[B]`` key array
+    (per-stream draws: each row matches its solo run — the
+    continuous-batching serving contract).
     """
     B = last_h.shape[0]
     if interpret is None:
@@ -689,43 +758,25 @@ def decode_frame_fused(
     if rng is None:
         rng = jax.random.key(0)
     per_stream = jnp.ndim(rng) > 0
-    if per_stream:
-        from csm_tpu.ops.sampling import sample_topk_batch
-
+    if greedy:
+        gumbel = jnp.zeros((N, B, Va), jnp.float32)
+    elif per_stream:
         keys_b = jax.vmap(lambda k: jax.random.split(k, N))(rng)  # [B, N]
-        c0 = sample_topk_batch(keys_b[:, 0], c0_logits, topk, temperature, greedy)
-        if greedy:
-            gumbel = jnp.zeros((N - 1, B, Va), jnp.float32)
-        else:
-            # Row b draws from its own key stream — identical to the B=1
-            # per-stream path (gumbel(k, (1, Va)) rows).
-            gumbel = jax.vmap(
-                lambda kb: jax.vmap(
-                    lambda k: jax.random.gumbel(k, (1, Va), jnp.float32)[0]
-                )(kb)
-            )(keys_b[:, 1:])  # [B, N-1, Va]
-            gumbel = jnp.swapaxes(gumbel, 0, 1)  # [N-1, B, Va]
+        # Row b draws from its own key stream — identical to the B=1
+        # per-stream path (gumbel(k, (1, Va)) rows).
+        gumbel = jax.vmap(
+            jax.vmap(lambda k: jax.random.gumbel(k, (1, Va), jnp.float32)[0])
+        )(keys_b)  # [B, N, Va]
+        gumbel = jnp.swapaxes(gumbel, 0, 1)  # [N, B, Va]
     else:
         keys = jax.random.split(rng, N)
-        c0 = sample_topk(keys[0], c0_logits, topk, temperature, greedy)  # [B]
-        if greedy:
-            gumbel = jnp.zeros((N - 1, B, Va), jnp.float32)
-        else:
-            gumbel = jax.vmap(
-                lambda k: jax.random.gumbel(k, (B, Va), jnp.float32)
-            )(keys[1:])
+        gumbel = jax.vmap(
+            lambda k: jax.random.gumbel(k, (B, Va), jnp.float32)
+        )(keys)
 
-    proj_emb_flat = qdec["proj_emb"].reshape(
-        qdec["proj_emb"].shape[0], config.decoder.hidden_size
-    )
     x0 = last_h @ params["projection"]  # [B, Dd]
-    x1 = proj_emb_flat[c0]  # [B, Dd] — codebook-0 offset is 0
-    x_prefill = jnp.stack(
-        [x0.astype(jnp.float32), x1.astype(jnp.float32)], axis=1
-    )  # [B, 2, Dd]
-
-    cb = fused_decode_codebooks(
-        qdec, config, x_prefill, gumbel, temperature,
+    return fused_decode_codebooks(
+        qdec, config, x0.astype(jnp.float32),
+        c0_logits.astype(jnp.float32), gumbel, temperature,
         topk=topk, greedy=greedy, interpret=interpret,
-    )  # [B, N-1]
-    return jnp.concatenate([c0[:, None], cb], axis=1)  # [B, N]
+    )  # [B, N]

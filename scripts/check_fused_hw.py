@@ -2,15 +2,23 @@
 """Hardware parity check for the fused decoder kernel.
 
 Runs the Mosaic-compiled kernel on the real chip at full CSM-1B scale and
-checks:
-1. kernel == pure-JAX emulator (same quantized math) for B=1, greedy and
-   sampled;
-2. batched (B=8) rows == each row's solo run (the continuous-batching
-   serving contract).
+checks, against the pure-JAX emulator (same quantized math):
+1. B=1, greedy and sampled;
+2. batched (B=8) rows vs each row's solo run vs the emulator (the
+   continuous-batching serving contract).
 
-The CPU test suite covers the same contracts in interpreter mode
-(tests/test_fused_decoder.py); this script retires the Mosaic-compilation
-risk the interpreter cannot see.
+Contract.  On CPU (interpreter mode) the kernel is BIT-exact against the
+emulator — that is the logic oracle (tests/test_fused_decoder.py).  On
+hardware, Mosaic and XLA may tile a dot's fp32 accumulation differently;
+after the bf16 logit rounding that shows up as occasional 1-ulp logit
+flips, which can swap two near-tied candidates and (because the sampled
+token feeds the next decoder step) legitimately fork the whole remaining
+trajectory.  So the hardware contract is: the token streams must agree up
+to their FIRST divergence, and that divergence must be NEAR-TIE EXPLAINED
+— the emulator's score gap between the two picks (or the kernel pick's
+distance to the top-k boundary) is within a few bf16 ulps.  A real bug
+(wrong weights, wrong DMA slot, wrong position) produces large gaps and
+fails this immediately.
 """
 
 from __future__ import annotations
@@ -24,6 +32,31 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+TOL = 0.05  # ~3 bf16 ulps at the logit magnitudes a 1B model produces
+
+
+def explain_divergence(kern, emu, emu_lg, gumbel, temp, topk, greedy):
+    """First index where the streams differ, and whether the emulator's
+    scores there show a near-tie.  ``emu_lg`` rows follow the emulator's
+    own trajectory, so they are only meaningful up to the first
+    divergence — exactly where we evaluate them."""
+    N = len(kern)
+    for i in range(N):
+        if kern[i] == emu[i]:
+            continue
+        lg = emu_lg[i]
+        a, b = int(kern[i]), int(emu[i])
+        if greedy:
+            gap = float(lg[b] - lg[a])
+        else:
+            sc = lg[: gumbel.shape[1]] / max(temp, 1e-6) + gumbel[i]
+            gap = float(sc[b] - sc[a])
+        live = np.sort(lg[lg > -1e8])
+        kth = live[-min(topk, live.size)]
+        near = abs(gap) < TOL or abs(float(lg[a] - kth)) < TOL
+        return i, near, gap
+    return N, True, 0.0
+
 
 def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_csm")
@@ -33,7 +66,6 @@ def main():
     from csm_tpu.config import CSMConfig
     from csm_tpu.models import csm
     from csm_tpu.ops.fused_decoder import (
-        decode_frame_fused,
         emulate_decode_codebooks,
         fused_decode_codebooks,
         prepare_fused_decoder,
@@ -51,57 +83,83 @@ def main():
     Dd = config.decoder.hidden_size
     rng = np.random.default_rng(0)
 
+    kern_fn = {}
+    for greedy in (True, False):
+        kern_fn[greedy] = jax.jit(
+            lambda q, x, c, g, _greedy=greedy: fused_decode_codebooks(
+                q, config, x, c, g, 1.0, topk=50, greedy=_greedy
+            )
+        )
+    emu_fn = {}
+    for greedy in (True, False):
+        emu_fn[greedy] = jax.jit(
+            lambda q, x, c, g, _greedy=greedy: emulate_decode_codebooks(
+                q, config, x, c, g, 1.0, topk=50, greedy=_greedy,
+                return_logits=True,
+            )
+        )
+
     ok = True
     for greedy in (True, False):
-        x_prefill = jnp.asarray(rng.standard_normal((2, Dd)), jnp.float32)
+        x0 = jnp.asarray(rng.standard_normal((1, Dd)), jnp.float32)
+        c0lg = jnp.asarray(
+            rng.standard_normal((1, Va)), jnp.float32
+        ).astype(jnp.bfloat16).astype(jnp.float32)
         gumbel = (
-            jnp.zeros((N - 1, 1, Va), jnp.float32)
+            jnp.zeros((N, 1, Va), jnp.float32)
             if greedy
-            else jnp.asarray(rng.gumbel(size=(N - 1, 1, Va)), jnp.float32)
+            else jnp.asarray(rng.gumbel(size=(N, 1, Va)), jnp.float32)
         )
-        kern = np.asarray(
-            jax.jit(
-                lambda q, x, g: fused_decode_codebooks(
-                    q, config, x[None], g, 1.0, topk=50, greedy=greedy
-                )
-            )(qdec, x_prefill, gumbel)
+        kern = np.asarray(kern_fn[greedy](qdec, x0, c0lg, gumbel))[0]
+        emu_s, emu_lg = emu_fn[greedy](qdec, x0, c0lg, gumbel)
+        emu_s, emu_lg = np.asarray(emu_s)[0], np.asarray(emu_lg)
+        div, near, gap = explain_divergence(
+            kern, emu_s, emu_lg, np.asarray(gumbel)[:, 0, :], 1.0, 50, greedy
         )
-        emu = np.asarray(
-            jax.jit(
-                lambda q, x, g: emulate_decode_codebooks(
-                    q, config, x, g, 1.0, topk=50, greedy=greedy
-                )
-            )(qdec, x_prefill, gumbel)
+        ok &= near
+        what = "exact" if div == N else (
+            f"diverge@cb{div} gap={gap:+.4f} "
+            f"({'near-tie OK' if near else 'NOT near-tie: FAIL'})"
         )
-        match = (kern == emu).all()
-        ok &= bool(match)
-        print(f"kernel==emulator  greedy={greedy}: "
-              f"{'OK' if match else f'MISMATCH {np.sum(kern != emu)}/{kern.size}'}")
+        print(f"kernel vs emulator  greedy={greedy}: {what}")
 
-    # Batched solo-equality: per-stream keys, B=8 rows vs solo runs.
+    # Batched serving contract: B=8 rows, per-stream noise.  Each row of the
+    # batched run and its solo run must both track the emulator trajectory
+    # (identical inputs per row), with any fork near-tie explained.
     B = 8
-    last_h = jnp.asarray(rng.standard_normal((B, config.backbone.hidden_size)),
-                         jnp.float32).astype(jnp.bfloat16)
-    c0_logits = jnp.asarray(rng.standard_normal((B, Va)), jnp.float32)
+    x0 = jnp.asarray(rng.standard_normal((B, Dd)), jnp.float32)
+    c0lg = jnp.asarray(
+        rng.standard_normal((B, Va)), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
     keys = jax.random.split(jax.random.key(7), B)
+    keys_b = jax.vmap(lambda k: jax.random.split(k, N))(keys)
+    gum_b = jax.vmap(
+        jax.vmap(lambda k: jax.random.gumbel(k, (1, Va), jnp.float32)[0])
+    )(keys_b)  # [B, N, Va]
+    gumbel8 = jnp.swapaxes(gum_b, 0, 1)  # [N, B, Va]
 
-    dff = jax.jit(
-        lambda p, q, lh, lg, k: decode_frame_fused(
-            p, q, config, lh, lg, k, 1.0, 50, False
-        )
-    )
-    batched = np.asarray(dff(params, qdec, last_h, c0_logits, keys))
+    batched = np.asarray(kern_fn[False](qdec, x0, c0lg, gumbel8))
+    exact_rows = 0
     for b in range(B):
+        g1 = gumbel8[:, b : b + 1, :]
         solo = np.asarray(
-            dff(params, qdec, last_h[b : b + 1], c0_logits[b : b + 1],
-                keys[b : b + 1])
-        )
-        match = (batched[b] == solo[0]).all()
-        ok &= bool(match)
-        if not match:
-            print(f"  batch row {b}: MISMATCH "
-                  f"{np.sum(batched[b] != solo[0])}/{solo.size}")
-    print(f"batched(B=8) rows == solo runs: {'OK' if ok else 'FAILED'}")
+            kern_fn[False](qdec, x0[b : b + 1], c0lg[b : b + 1], g1)
+        )[0]
+        emu_s, emu_lg = emu_fn[False](qdec, x0[b : b + 1], c0lg[b : b + 1], g1)
+        emu_s, emu_lg = np.asarray(emu_s)[0], np.asarray(emu_lg)
+        gum_np = np.asarray(g1)[:, 0, :]
+        for name, toks in (("solo", solo), ("batched", batched[b])):
+            div, near, gap = explain_divergence(
+                toks, emu_s, emu_lg, gum_np, 1.0, 50, False
+            )
+            ok &= near
+            if div == N:
+                exact_rows += 1
+            else:
+                print(f"  row {b} {name}: diverge@cb{div} gap={gap:+.4f} "
+                      f"({'near-tie OK' if near else 'FAIL'})")
+    print(f"batched(B=8)+solo vs emulator: {exact_rows}/16 exact, "
+          f"all divergences near-tie: {'OK' if ok else 'FAILED'}")
     sys.exit(0 if ok else 1)
 
 

@@ -32,6 +32,9 @@ def setup():
     c0_logits = jax.random.normal(
         jax.random.key(2), (1, config.audio_vocab_size), jnp.float32
     )
+    # bf16-rounded, like the backbone head's output (the in-kernel c0
+    # bisection's exactness contract).
+    c0_logits = c0_logits.astype(jnp.bfloat16).astype(jnp.float32)
     return config, params, qdec, last_h, c0_logits
 
 
@@ -69,30 +72,32 @@ def test_prepare_shapes(setup):
 
 @pytest.mark.parametrize("greedy", [True, False])
 def test_kernel_matches_emulator(setup, greedy):
-    """Interpret-mode kernel is bit-exact against the pure-JAX emulator."""
+    """Interpret-mode kernel is bit-exact against the pure-JAX emulator
+    (all 32 codebooks — c0 sampling now lives in-kernel too)."""
     config, params, qdec, last_h, c0_logits = setup
     Va = config.audio_vocab_size
-    keys = jax.random.split(jax.random.key(42), config.audio_num_codebooks)
-    c0 = sample_topk(keys[0], c0_logits, 10, 0.8, greedy)
+    N = config.audio_num_codebooks
+    keys = jax.random.split(jax.random.key(42), N)
     if greedy:
-        gumbel = jnp.zeros((31, 1, Va), jnp.float32)
+        gumbel = jnp.zeros((N, 1, Va), jnp.float32)
     else:
         gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (1, Va), jnp.float32))(
-            keys[1:]
+            keys
         )
-    pe = qdec["proj_emb"].reshape(-1, config.decoder.hidden_size)
-    xp = jnp.concatenate(
-        [(last_h @ params["projection"]).astype(jnp.float32),
-         pe[c0[0]][None, :].astype(jnp.float32)], 0,
-    )
+    x0 = (last_h @ params["projection"]).astype(jnp.float32)
     em = fd.emulate_decode_codebooks(
-        qdec, config, xp, gumbel, 0.8, topk=10, greedy=greedy
+        qdec, config, x0, c0_logits, gumbel, 0.8, topk=10, greedy=greedy
     )
     kr = fd.fused_decode_codebooks(
-        qdec, config, xp[None], gumbel, 0.8, topk=10, greedy=greedy,
+        qdec, config, x0, c0_logits, gumbel, 0.8, topk=10, greedy=greedy,
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(em), np.asarray(kr))
+    # c0 equals the standard sampler's draw (bitwise on bf16-rounded
+    # logits: the bisection finds lax.top_k's exact k-th value and the
+    # Gumbel noise is the same keys[0] draw sample_topk would consume).
+    c0_want = sample_topk(keys[0], c0_logits, 10, 0.8, greedy)
+    assert int(np.asarray(kr)[0, 0]) == int(c0_want[0])
     # Tokens are in range.
     assert np.asarray(kr).min() >= 0 and np.asarray(kr).max() < Va
 
