@@ -9,15 +9,17 @@ Prints one JSON line per metric (all captured by the driver):
 
 1. ``csm1b_frames_per_sec_single_stream`` — the north-star number
    (BASELINE.md: ≥125 target).  Uses the fused VMEM-resident int8 decoder
-   kernel (:mod:`csm_tpu.ops.fused_decoder`).
-2. ``csm1b_frames_per_sec_batch8_aggregate`` — 8 concurrent streams, XLA
-   decode path, aggregate frames/s.
+   kernel (:mod:`csm_tpu.ops.fused_decoder`) plus the streamed-weight
+   backbone kernel (:mod:`csm_tpu.ops.bb_kernel`).
+2. ``csm1b_frames_per_sec_batch8_aggregate`` — 8 concurrent streams
+   through the batched fused decoder kernel + W8A8 int8 backbone,
+   aggregate frames/s.
 3. ``csm1b_first_frame_latency_ms`` — p50 prefill(64 frames)+first-frame
    latency; ``vs_baseline`` is the reference's 130 ms over ours.
 
-Flags: ``--frames N`` (default 64), ``--prompt-frames N`` (default 64),
+Flags: ``--frames N`` (default 125), ``--prompt-frames N`` (default 64),
 ``--tiny`` (debug), ``--skip-batch``, ``--skip-first-frame``,
-``--impl fused|xla`` (single-stream decoder implementation).
+``--impl streamed|fused|xla`` (single-stream decode implementation).
 """
 
 from __future__ import annotations
@@ -51,7 +53,13 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip-batch", action="store_true")
     ap.add_argument("--skip-first-frame", action="store_true")
-    ap.add_argument("--impl", choices=("fused", "xla"), default="fused")
+    ap.add_argument(
+        "--impl", choices=("fused", "xla", "streamed"), default="streamed",
+        help="single-stream decode path: 'streamed' (default) = fused "
+        "decoder kernel + streamed-weight backbone kernel "
+        "(csm_tpu.ops.bb_kernel); 'fused' = fused decoder kernel + W8A8 "
+        "XLA backbone; 'xla' = pure XLA bf16",
+    )
     args = ap.parse_args()
 
     import jax
@@ -82,9 +90,9 @@ def main():
     # does not actually synchronize; only a host transfer is a true barrier.
     np.asarray(params["projection"])
 
-    qdec = qbb = None
-    # Fused kernel: real-config TPU runs only (tiny debug shapes don't tile).
-    if args.impl == "fused" and not args.tiny and jax.default_backend() != "cpu":
+    qdec = qbb = qsb = None
+    # Fused kernels: real-config TPU runs only (tiny debug shapes don't tile).
+    if args.impl != "xla" and not args.tiny and jax.default_backend() != "cpu":
         from csm_tpu.ops.fused_decoder import prepare_fused_decoder
         from csm_tpu.ops.quant import prepare_quantized_backbone
 
@@ -92,6 +100,11 @@ def main():
         qbb = jax.jit(lambda p: prepare_quantized_backbone(p, config))(params)
         np.asarray(qdec["s"]["wq"])
         np.asarray(qbb["s"]["wqkv"])
+        if args.impl == "streamed":
+            from csm_tpu.ops.bb_kernel import prepare_streamed_backbone
+
+            qsb = jax.jit(lambda p: prepare_streamed_backbone(p, config))(params)
+            np.asarray(qsb["final_norm"])
 
     def prompt(batch):
         ids = np.zeros((batch, S, config.frame_width), np.int32)
@@ -107,6 +120,7 @@ def main():
             max_new_frames=max_new_frames, temperature=1.0, topk=50,
             greedy=False, stop_on_all_zeros=False, stop_mode="stream",
             qdec=q, qbb=qbb if q is not None else None,
+            qsb=qsb if (q is not None and batch == 1) else None,
         )
         np.asarray(frames)  # true sync barrier
         return int(np.asarray(n).sum())

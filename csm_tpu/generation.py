@@ -194,6 +194,7 @@ def generate_frame(
     flash_prefill: bool = False,
     qdec: Optional[dict] = None,
     qbb: Optional[dict] = None,
+    qsb: Optional[dict] = None,
 ) -> csm.CSMOutput:
     """Generate one frame's 32 codebooks (reference
     ``generate_frame``, ``modeling_csm.py:484-589``).
@@ -205,7 +206,7 @@ def generate_frame(
     out = csm.forward(
         params, config, input_ids, attention_mask, cache=cache,
         last_index=None if true_len is None else true_len - 1,
-        flash_prefill=flash_prefill, qbb=qbb,
+        flash_prefill=flash_prefill, qbb=qbb, qsb=qsb,
     )
     new_cache = out.cache
     if new_cache is not None and true_len is not None:
@@ -259,6 +260,7 @@ def generate_compiled(
     cache_len: Optional[int] = None,
     qdec: Optional[dict] = None,
     qbb: Optional[dict] = None,
+    qsb: Optional[dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-utterance generation as one device program: prefill + a
     ``while_loop`` of frame steps (reference loop: ``modeling_csm.py:640-690``).
@@ -325,7 +327,7 @@ def generate_compiled(
         out = generate_frame(
             params, config, ids, mask,
             cache=cache, rng=k, temperature=temperature, topk=topk, greedy=greedy,
-            qdec=qdec, qbb=qbb,
+            qdec=qdec, qbb=qbb, qsb=qsb,
         )
         done, n_frames, frames_buf = process(
             out.samples, done, n_frames, frames_buf, step
@@ -360,6 +362,7 @@ def generate(
     stop_mode: str = "batch",
     qdec: Optional[dict] = None,
     qbb: Optional[dict] = None,
+    qsb: Optional[dict] = None,
 ):
     """Reference-compatible ``generate`` (``modeling_csm.py:591-702``):
     returns ``[B, n_frames, 32]`` (possibly ``[B, 0, 32]``).
@@ -387,7 +390,7 @@ def generate(
         jnp.int32(S), rng,
         max_new_frames=max_new_frames, temperature=temperature, topk=topk,
         greedy=greedy, stop_on_all_zeros=stop_on_all_zeros, stop_mode=stop_mode,
-        qdec=qdec, qbb=qbb,
+        qdec=qdec, qbb=qbb, qsb=qsb,
     )
     n = int(np.max(np.asarray(n_frames))) if stop_mode == "stream" else int(n_frames[0])
     return np.asarray(frames)[:, :n, :]

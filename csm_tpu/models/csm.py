@@ -275,6 +275,65 @@ def decoder_forward_full(
     )
 
 
+def forward_decode_streamed(
+    params: dict,
+    qsb: dict,
+    config: CSMConfig,
+    input_ids: jnp.ndarray,  # [B, 1, 33]
+    attention_mask: Optional[jnp.ndarray],
+    cache: KVCache,
+) -> CSMOutput:
+    """One-frame decode step through the streamed-weight backbone kernel
+    (:mod:`csm_tpu.ops.bb_kernel`): embed-sum + 16 layers + final norm + c0
+    head as ONE Pallas program pinned to the HBM-bandwidth floor.
+
+    The kernel is pure — it returns the new K/V rows and this function
+    scatters them into the cache (scalar or per-stream ``cache.index``).
+    """
+    from csm_tpu.ops.bb_kernel import bb_decode_step
+
+    B, S, _ = input_ids.shape
+    h0 = embed_frames(params, config, input_ids, attention_mask)[:, 0, :]
+    start = jnp.asarray(cache.index)
+    starts = (
+        jnp.broadcast_to(start.reshape(()), (B,)) if start.ndim == 0 else start
+    )
+    rope = compute_rope_table(config.backbone, config.max_seq_len)
+    cos = jnp.take(rope[0], starts, axis=0)  # [B, hd]
+    sin = jnp.take(rope[1], starts, axis=0)
+    bias_w = jnp.where(cache.valid, 0.0, llama.NEG_INF).astype(jnp.float32)
+
+    nh, c0_logits, nk, nv = bb_decode_step(
+        qsb, config, h0, cos, sin, bias_w, cache.k, cache.v,
+        interpret=jax.default_backend() == "cpu",
+    )
+
+    nk = nk[:, :, None].astype(cache.k.dtype)  # [L, B, 1, nkv, hd]
+    nv = nv[:, :, None].astype(cache.v.dtype)
+    one = jnp.ones((B, 1), jnp.bool_)
+    if start.ndim == 0:
+        k = jax.lax.dynamic_update_slice(cache.k, nk, (0, 0, start, 0, 0))
+        v = jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, start, 0, 0))
+        valid = jax.lax.dynamic_update_slice(cache.valid, one, (0, start))
+    else:
+        upd = jax.vmap(
+            lambda c, n, i: jax.lax.dynamic_update_slice(c, n, (0, i, 0, 0)),
+            in_axes=(1, 1, 0), out_axes=1,
+        )
+        k = upd(cache.k, nk, starts)
+        v = upd(cache.v, nv, starts)
+        valid = jax.vmap(
+            lambda vv, o, i: jax.lax.dynamic_update_slice(vv, o, (i,))
+        )(cache.valid, one, starts)
+    new_cache = cache.replace(k=k, v=v, valid=valid, index=cache.index + 1)
+    dtype = params["projection"].dtype
+    return CSMOutput(
+        last_hidden_state=nh.astype(dtype),
+        logits=c0_logits,
+        cache=new_cache,
+    )
+
+
 def forward(
     params: dict,
     config: CSMConfig,
@@ -289,6 +348,7 @@ def forward(
     last_index: Optional[jnp.ndarray] = None,
     flash_prefill: bool = False,
     qbb: Optional[dict] = None,
+    qsb: Optional[dict] = None,
     use_flash: bool = True,
 ) -> CSMOutput:
     """Full forward pass with optional training losses
@@ -304,6 +364,18 @@ def forward(
     """
     B, S, _ = input_ids.shape
     N = config.audio_num_codebooks
+
+    if (
+        qsb is not None
+        and cache is not None
+        and S == 1
+        and labels is None
+        and not return_all_logits
+        and positions is None
+    ):
+        return forward_decode_streamed(
+            params, qsb, config, input_ids, attention_mask, cache
+        )
 
     hidden, new_cache = backbone_forward(
         params, config, input_ids, attention_mask, cache=cache,

@@ -1,0 +1,778 @@
+"""Streamed-weight Pallas kernel for the backbone decode step.
+
+Why.  After the fused intra-frame decoder kernel, the largest per-frame cost
+is the backbone's single-token decode step: 16 layers re-read ~0.95 GB of
+int8 weights from HBM (reference loop: ``/root/reference/modeling_csm.py:
+640-659``; our XLA path: :func:`csm_tpu.models.llama.forward` with
+``qlayers``).  The XLA path issues ~70 separate ops whose scheduling gaps
+keep the DMA engine idle between matmuls.  This kernel runs the ENTIRE
+decode step — 16 transformer layers, KV-cache attention, final norm, and the
+``codebook0_head`` classification — as one Pallas program that streams the
+int8 weights chunk-by-chunk through a small VMEM ring with the next chunk's
+DMA always in flight, pinning the step to the HBM-bandwidth floor
+(~0.95 GB / 819 GB/s ≈ 1.2 ms on a v5e).
+
+Design (see also :mod:`csm_tpu.ops.fused_decoder`, which this mirrors):
+
+- weights are **int8 symmetric per-output-channel** with the RMSNorm weights
+  folded into the pre-norm matrices (the per-row ``rsqrt(mean(x²)+eps)``
+  scalar applies to matmul outputs, so the norm reduce overlaps the dot);
+- a static chunk schedule (per layer: qkv → wo → gate-up column chunks →
+  down row chunks; then the head) runs through two VMEM rings (~8.4
+  MB/chunk) via async DMA; compute waits on the chunk semaphore, consumes,
+  and immediately issues the fetch that reuses the slot;
+- **no vector shape casts anywhere** — Mosaic's layout inference rejects the
+  32-head reshapes a conventional attention would need ("unsupported shape
+  cast"), so every head split/merge is an exact one-hot matmul (the MXU
+  does the data movement; one-hot f32 dots are bit-exact) and RoPE runs on
+  the flat lane layout: the Q/K projection columns are permuted at PREPARE
+  time into [all first halves | all second halves] order, which turns
+  rotate-half into a single 2-D concat;
+- attention is block-diagonal merged GQA over the biased window — two big
+  dots for ALL streams and heads (:func:`_attend_flat`);
+- the KV window is DMA'd per layer, double-buffered; the NEW token's K/V
+  ride in an extra window row, so the kernel never writes the HBM cache —
+  the new rows are regular outputs the XLA caller scatters (kernel stays
+  pure);
+- ``codebook0_head`` is folded with the final norm and classified in-kernel;
+  outputs are the final-normed hidden (for the decoder-stage projection)
+  and the c0 logits.
+
+Numerics: residual stream fp32, matmuls W8A16 (bf16 activations × int8
+weights, fp32 accumulation — no activation quantization error), softmax
+fp32, attention operands bf16 (as in the XLA path), c0 logits rounded
+through bf16 (the XLA head matmul emits bf16).  Opt-in like the other
+quantized paths; exactness contract is against
+:func:`emulate_bb_decode_step`, a pure-JAX op-for-op replica (same chunked
+partial sums, same one-hot movements, same casts) used as the test oracle.
+Both sides must run under jit when compared (XLA's FMA contraction differs
+between jitted and eager programs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from csm_tpu.config import CSMConfig
+from csm_tpu.ops.fused_decoder import NEG_INF, _rms_scale, quantize_per_channel
+
+CHUNK_N = 4096  # ring-A chunk columns / ring-B chunk rows (int8, 8.4 MB)
+
+
+# ---------------------------------------------------------------------------
+# Preparation
+# ---------------------------------------------------------------------------
+
+
+def _half_perm(H: int, hd: int) -> np.ndarray:
+    """Column permutation putting ``H`` heads' rotary halves into
+    [all first halves | all second halves] order (head-major in each block).
+    ``perm[new] = old`` — apply as ``w[:, perm]``."""
+    half = hd // 2
+    first = np.arange(H)[:, None] * hd + np.arange(half)[None, :]
+    second = first + half
+    return np.concatenate([first.reshape(-1), second.reshape(-1)])
+
+
+def prepare_streamed_backbone(params: dict, config: CSMConfig) -> dict:
+    """Quantize the backbone + c0 head for the streamed decode-step kernel.
+
+    Norm folding as in :func:`..fused_decoder.prepare_fused_decoder`:
+    ``rmsnorm(x, nw) @ W == rs(x) * (x @ (diag(nw) W))``; the final norm
+    folds into ``codebook0_head``.  Per-matrix quantization before
+    concatenation keeps each fused column's scale exact.  The Q and K
+    output columns (and their scales) are permuted into rotary-half order
+    (see module docstring) — an exact relabeling.
+    """
+    bcfg = config.backbone
+    nq, nkv, hd = bcfg.num_attention_heads, bcfg.num_key_value_heads, bcfg.head_dim
+    bl = params["backbone"]["layers"]
+    attn_nw = bl["attn_norm"].astype(jnp.float32)[:, :, None]  # [L, D, 1]
+    mlp_nw = bl["mlp_norm"].astype(jnp.float32)[:, :, None]
+
+    def quant(name, fold=None, perm=None):
+        w = bl[name].astype(jnp.float32)
+        if fold is not None:
+            w = w * fold
+        if perm is not None:
+            w = w[:, :, perm]
+        return quantize_per_channel(w)
+
+    out = {"w": {}, "s": {}}
+    qs = [
+        quant("wq", attn_nw, _half_perm(nq, hd)),
+        quant("wk", attn_nw, _half_perm(nkv, hd)),
+        quant("wv", attn_nw),
+    ]
+    out["w"]["wqkv"] = jnp.concatenate([q for q, _ in qs], axis=-1)
+    out["s"]["wqkv"] = jnp.concatenate([s for _, s in qs], axis=-1)
+    gs = [quant("w_gate", mlp_nw), quant("w_up", mlp_nw)]
+    out["w"]["w_gu"] = jnp.concatenate([q for q, _ in gs], axis=-1)
+    out["s"]["w_gu"] = jnp.concatenate([s for _, s in gs], axis=-1)
+    out["w"]["wo"], out["s"]["wo"] = quant("wo")
+    out["w"]["w_down"], out["s"]["w_down"] = quant("w_down")
+
+    Va = config.audio_vocab_size
+    Va_pad = -(-Va // 128) * 128
+    fnw = params["backbone"]["final_norm"].astype(jnp.float32)
+    head = params["codebook0_head"].astype(jnp.float32) * fnw[:, None]
+    hq, hs = quantize_per_channel(head)
+    out["w"]["head"] = jnp.pad(hq, ((0, 0), (0, Va_pad - Va)))
+    out["s"]["head"] = jnp.pad(hs, ((0, 0), (0, Va_pad - Va)), constant_values=1.0)
+    out["final_norm"] = fnw
+    return out
+
+
+def rope_tables_flat(
+    cos: jnp.ndarray, sin: jnp.ndarray, nq: int, nkv: int, hd: int
+):
+    """Expand per-stream ``cos/sin [B, hd]`` into flat permuted-layout
+    tables ``[B, nq*hd]`` / ``[B, nkv*hd]`` (outside-the-kernel XLA ops).
+
+    In [first halves | second halves] order, lane blocks are head-major, so
+    the table is ``tile(cos[:hd/2], H)`` then ``tile(cos[hd/2:], H)``."""
+    half = hd // 2
+
+    def expand(t, H):
+        t = t.astype(jnp.float32)
+        return jnp.concatenate(
+            [jnp.tile(t[:, :half], (1, H)), jnp.tile(t[:, half:], (1, H))],
+            axis=1,
+        )
+
+    return expand(cos, nq), expand(sin, nq), expand(cos, nkv), expand(sin, nkv)
+
+
+# ---------------------------------------------------------------------------
+# Shared math (kernel body AND emulator — textually identical)
+# ---------------------------------------------------------------------------
+
+
+def _qdot(x_bf16: jnp.ndarray, wq: jnp.ndarray) -> jnp.ndarray:
+    """Raw W8A16 dot: bf16 activations × int8 weights, fp32 accumulation.
+    (Scale applied by the caller — down-proj row chunks must sum raw.)"""
+    return jax.lax.dot_general(
+        x_bf16, wq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _fdot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """f32 dot (exact for one-hot data-movement matmuls)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _rope_flat(x: jnp.ndarray, cos_f: jnp.ndarray, sin_f: jnp.ndarray) -> jnp.ndarray:
+    """RoPE on the flat permuted layout: rotate-half is one global concat
+    because all first halves precede all second halves.  ``x [B, H*hd]``."""
+    half = x.shape[-1] // 2
+    rotated = jnp.concatenate([-x[:, half:], x[:, :half]], axis=1)
+    return x * cos_f + rotated * sin_f
+
+
+def _iota2(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _perm_head_of_lane(n_lanes: int, H: int, hd: int, rows: int) -> jnp.ndarray:
+    """[rows, n_lanes] int32: which head owns each PERMUTED-layout lane."""
+    half_tot = H * (hd // 2)
+    c = _iota2((rows, n_lanes), 1)
+    return jnp.where(c < half_tot, c // (hd // 2), (c - half_tot) // (hd // 2))
+
+
+def _perm_dim_of_lane(n_lanes: int, H: int, hd: int, rows: int) -> jnp.ndarray:
+    """[rows, n_lanes] int32: which head-dim each PERMUTED-layout lane is."""
+    half = hd // 2
+    half_tot = H * half
+    c = _iota2((rows, n_lanes), 1)
+    return jnp.where(c < half_tot, c % half, half + (c - half_tot) % half)
+
+
+def _rows_from_flat(
+    x_perm: jnp.ndarray, B: int, H: int, hd: int
+) -> jnp.ndarray:
+    """[B, H*hd] (permuted layout) -> head rows [B*H, hd], via two exact
+    one-hot matmuls (no shape casts).  Row r = (b, i) holds head i of
+    stream b in standard dim order."""
+    R = B * H
+    n = H * hd
+    # replicate each stream's flat vector to its H rows
+    selb = (_iota2((R, B), 0) // H == _iota2((R, B), 1)).astype(jnp.float32)
+    rep = _fdot(selb, x_perm)  # [R, n]
+    head_of = _perm_head_of_lane(n, H, hd, R)
+    own = (head_of == _iota2((R, n), 0) % H).astype(jnp.float32)
+    # gather the owned lanes into standard head-dim order: gq[c, d] = 1 iff
+    # permuted lane c carries head-dim d (no transposes — iota-built)
+    half = hd // 2
+    half_tot = H * half
+    c = _iota2((n, hd), 0)
+    dim_of = jnp.where(c < half_tot, c % half, half + (c - half_tot) % half)
+    gq = (dim_of == _iota2((n, hd), 1)).astype(jnp.float32)  # [n, hd]
+    return _fdot(rep * own, gq)  # [R, hd]
+
+
+def _flat_from_rows(rows: jnp.ndarray, B: int, H: int, hd: int) -> jnp.ndarray:
+    """Head rows [B*H, hd] -> [B, H*hd] in STANDARD (unpermuted) layout,
+    via two exact one-hot matmuls."""
+    R = B * H
+    n = H * hd
+    expand = (_iota2((hd, n), 1) % hd == _iota2((hd, n), 0)).astype(jnp.float32)
+    rep = _fdot(rows, expand)  # [R, n] — each row's values at every head slot
+    own = (_iota2((R, n), 1) // hd == _iota2((R, n), 0) % H).astype(jnp.float32)
+    selb = (_iota2((B, R), 1) // H == _iota2((B, R), 0)).astype(jnp.float32)
+    return _fdot(selb, rep * own)  # [B, n]
+
+
+def _perm_to_std(x_perm: jnp.ndarray, H: int, hd: int) -> jnp.ndarray:
+    """[B, H*hd] permuted layout -> standard layout via one one-hot matmul."""
+    n = H * hd
+    half = hd // 2
+    half_tot = H * half
+    # std column m = (head j, dim d) comes from perm column p(m)
+    m_row = _iota2((n, n), 0)
+    j = m_row // hd
+    d = m_row % hd
+    p = jnp.where(d < half, j * half + d, half_tot + j * half + (d - half))
+    pk = (p == _iota2((n, n), 1)).astype(jnp.float32)  # [n(std rows m), n(perm)]
+    # x_std[:, m] = x_perm[:, p(m)]  ->  x_std = x_perm @ pk^T
+    return jax.lax.dot_general(
+        x_perm, pk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _attend_flat(
+    q_rows: jnp.ndarray,  # [B*nq, hd] f32 (rotated, standard dim order)
+    k_win: jnp.ndarray,  # [Wp, B*nkv*hd] bf16 — row W = the new key
+    v_win: jnp.ndarray,  # [Wp, B*nkv*hd] bf16
+    bias: jnp.ndarray,  # [B, W] f32 — 0 = usable key slot, NEG_INF = not
+    B: int,
+    nq: int,
+    nkv: int,
+    W: int,
+) -> jnp.ndarray:
+    """Block-diagonal merged GQA over a biased window (decode step, T=1) —
+    all streams and heads in two big dots, with one-hot matmuls for the
+    block scatter/gather (no shape casts).
+
+    Key validity comes from the caller's bias vector; window row ``W``
+    holds the token's own new K/V (always attendable), rows past it are
+    masked.  Returns attention output rows ``[B*nq, hd]`` f32.
+    """
+    hd = q_rows.shape[-1]
+    g = nq // nkv
+    R = B * nq
+    C = B * nkv
+    Wp = k_win.shape[0]
+    scale = 1.0 / (hd ** 0.5)
+
+    # qz[r, cb*hd + d] = q_rows[r, d] iff cb == block(r) = (b, head//g)
+    ridx = _iota2((R, C * hd), 0)
+    rblk = ridx // nq * nkv + ridx % nq // g
+    own = (rblk == _iota2((R, C * hd), 1) // hd).astype(jnp.float32)
+    gc = (_iota2((hd, C * hd), 1) % hd == _iota2((hd, C * hd), 0)).astype(
+        jnp.float32
+    )  # [hd, C*hd]
+    qz = _fdot(q_rows, gc) * own  # [R, C*hd]
+
+    scores = jax.lax.dot_general(
+        qz.astype(jnp.bfloat16), k_win, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [R, Wp]
+    selb = (_iota2((R, B), 0) // nq == _iota2((R, B), 1)).astype(jnp.float32)
+    bias_rows = _fdot(selb, bias)  # [R, W] (bias values are 0/NEG_INF: exact)
+    colw = _iota2((R, Wp), 1)
+    full_bias = jnp.concatenate(
+        [bias_rows, jnp.zeros((R, Wp - W), jnp.float32)], axis=1
+    )
+    ok = (full_bias >= 0) & (colw <= W)
+    scores = jnp.where(ok, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jax.lax.dot_general(
+        probs.astype(jnp.bfloat16), v_win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, C*hd] — row r's true output sits in column block rblk[r]
+    return jax.lax.dot_general(
+        out * own, gc, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, hd]
+
+
+def _merge_streams(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, n] -> [1, B*n] by lane concatenation (the merged window row)."""
+    B = x.shape[0]
+    if B == 1:
+        return x
+    return jnp.concatenate([x[b : b + 1] for b in range(B)], axis=1)
+
+
+def _layer_attention(
+    qkv: jnp.ndarray,  # [B, (nq+2*nkv)*hd] f32 — scaled projections
+    # (q and k segments in permuted rotary-half layout)
+    k_win_fn,  # () -> [Wp, B*nkv*hd] bf16 window (with row W pre-written)
+    v_win_fn,
+    write_row_fn,  # (k_row [1, B*nkv*hd], v_row) -> None — called pre-attend
+    bias: jnp.ndarray,  # [B, W] f32
+    cos_qf: jnp.ndarray,  # [B, nq*hd] f32 flat permuted rope tables
+    sin_qf: jnp.ndarray,
+    cos_kf: jnp.ndarray,  # [B, nkv*hd]
+    sin_kf: jnp.ndarray,
+    nq: int,
+    nkv: int,
+    hd: int,
+    W: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """RoPE + window update + GQA attention for one layer; shared verbatim
+    by the kernel and the emulator.  Returns ``(attn [B, nq*hd] standard
+    layout, k_new [B, nkv*hd] standard, v_new [B, nkv*hd])``."""
+    B = qkv.shape[0]
+    q_roped = _rope_flat(qkv[:, : nq * hd], cos_qf, sin_qf)
+    k_roped = _rope_flat(qkv[:, nq * hd : (nq + nkv) * hd], cos_kf, sin_kf)
+    k_new = _perm_to_std(k_roped, nkv, hd)  # [B, nkv*hd] standard (cache) order
+    v_new = qkv[:, (nq + nkv) * hd :]
+
+    write_row_fn(
+        _merge_streams(k_new).astype(jnp.bfloat16),
+        _merge_streams(v_new).astype(jnp.bfloat16),
+    )
+    q_rows = _rows_from_flat(q_roped, B, nq, hd)  # [B*nq, hd]
+    out_rows = _attend_flat(q_rows, k_win_fn(), v_win_fn(), bias, B, nq, nkv, W)
+    attn = _flat_from_rows(out_rows, B, nq, hd)  # [B, nq*hd] standard
+    return attn, k_new, v_new
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _dims(config: CSMConfig):
+    """Chunking geometry shared by the kernel body, emulator, and caller."""
+    bcfg = config.backbone
+    D, F = bcfg.hidden_size, bcfg.intermediate_size
+    nq, nkv, hd = bcfg.num_attention_heads, bcfg.num_key_value_heads, bcfg.head_dim
+    QKVN = (nq + 2 * nkv) * hd
+    Va_pad = -(-config.audio_vocab_size // 128) * 128
+    chunk_gu = CHUNK_N if 2 * F % CHUNK_N == 0 and 2 * F >= CHUNK_N else 2 * F
+    chunk_dn = CHUNK_N if F % CHUNK_N == 0 and F >= CHUNK_N else F
+    return {
+        "QKVN": QKVN, "Va_pad": Va_pad,
+        "chunk_gu": chunk_gu, "n_gu": 2 * F // chunk_gu,
+        "chunk_dn": chunk_dn, "n_dn": F // chunk_dn,
+        "a_cols": max(QKVN, D, chunk_gu, Va_pad),
+    }
+
+
+def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
+    bcfg = config.backbone
+    L = bcfg.num_hidden_layers
+    D = bcfg.hidden_size
+    F = bcfg.intermediate_size
+    nq, nkv, hd = bcfg.num_attention_heads, bcfg.num_key_value_heads, bcfg.head_dim
+    eps = bcfg.rms_norm_eps
+    C = B * nkv
+    dims = _dims(config)
+    QKVN, Va_pad = dims["QKVN"], dims["Va_pad"]
+    chunk_gu, n_gu = dims["chunk_gu"], dims["n_gu"]
+    chunk_dn, n_dn = dims["chunk_dn"], dims["n_dn"]
+
+    # A-ring entry e = l*epl + j (j=0: qkv, j=1: wo, j=2+c: gate-up chunk c);
+    # entry L*epl is the head.  B-ring entry e = l*n_dn + r.  Slot = e % depth
+    # on both rings, so issuing entry e+depth always refills the slot entry e
+    # just vacated — the layer body is traced ONCE inside a fori_loop (the
+    # fully unrolled version took Mosaic ~25 min to compile; this one is
+    # ~16× smaller) and every refill is pure index math on the layer index.
+    epl = 2 + n_gu
+
+    def kernel(
+        h0_ref,  # VMEM (B, D) f32
+        cos_qf_ref, sin_qf_ref,  # VMEM (B, nq*hd) f32 — flat permuted tables
+        cos_kf_ref, sin_kf_ref,  # VMEM (B, nkv*hd) f32
+        bias_ref,  # VMEM (B, W) f32
+        fnw_ref,  # VMEM (1, D) f32
+        s_qkv, s_wo, s_gu, s_dn,  # VMEM f32 [L, 1, N]
+        s_head,  # VMEM f32 (1, Va_pad)
+        w_qkv, w_wo, w_gu, w_dn, w_head,  # ANY int8 (HBM)
+        k_hbm, v_hbm,  # ANY bf16 [L, B, W, nkv*hd]
+        nh_ref,  # out VMEM (B, D) f32
+        lg_ref,  # out VMEM (B, Va_pad) f32
+        nk_ref, nv_ref,  # out VMEM (L, B, nkv*hd) bf16
+        ring_a,  # scratch VMEM (depth, D, a_cols) int8
+        ring_b,  # scratch VMEM (depth, chunk_dn, D) int8
+        kbuf, vbuf,  # scratch VMEM (2, Wp, C*hd) bf16
+        sem_a, sem_b,  # DMA sems (depth,)
+        sem_kv,  # DMA sems (2, 2, B)
+    ):
+        def a_dma(l, j, slot):
+            """Copy descriptor for a-ring entry (layer ``l``, kind ``j``);
+            ``j`` is always static, ``l``/``slot`` may be traced."""
+            if j == 0:
+                src, ncols = w_qkv.at[l], QKVN
+            elif j == 1:
+                src, ncols = w_wo.at[l], D
+            else:
+                c = j - 2
+                src = w_gu.at[l, :, pl.ds(c * chunk_gu, chunk_gu)]
+                ncols = chunk_gu
+            return pltpu.make_async_copy(
+                src, ring_a.at[slot, :, pl.ds(0, ncols)], sem_a.at[slot]
+            )
+
+        def head_dma(slot):
+            return pltpu.make_async_copy(
+                w_head, ring_a.at[slot, :, pl.ds(0, Va_pad)], sem_a.at[slot]
+            )
+
+        def b_dma(l, r, slot):
+            return pltpu.make_async_copy(
+                w_dn.at[l, pl.ds(r * chunk_dn, chunk_dn), :],
+                ring_b.at[slot], sem_b.at[slot],
+            )
+
+        def slot_a(l, j):
+            if epl % depth == 0:
+                return j % depth  # static — 6 entries/layer, depth 3
+            return jax.lax.rem(l * epl + j, depth)
+
+        def slot_b(l, r):
+            if n_dn % depth == 0:
+                return r % depth
+            return jax.lax.rem(l * n_dn + r, depth)
+
+        def issue_next_a(l, j, slot):
+            """Refill ``slot`` with a-entry (l, j)+depth (guarded at the
+            tail: the last layer's refills are next-layer entries that do
+            not exist; the unique one landing exactly on L*epl is the head).
+            Called AFTER the dot that read the slot, so program order
+            guarantees the overwrite cannot race the read."""
+            jn = (j + depth) % epl
+            off = (j + depth) // epl
+            if off == 0:
+                a_dma(l, jn, slot).start()
+            elif jn == 0:
+                @pl.when(l + off < L)
+                def _():
+                    a_dma(l + off, 0, slot).start()
+
+                @pl.when(l + off == L)
+                def _():
+                    head_dma(slot).start()
+            else:
+                @pl.when(l + off < L)
+                def _():
+                    a_dma(l + off, jn, slot).start()
+
+        def issue_next_b(l, r, slot):
+            rn = (r + depth) % n_dn
+            off = (r + depth) // n_dn
+            if off == 0:
+                b_dma(l, rn, slot).start()
+            else:
+                @pl.when(l + off < L)
+                def _():
+                    b_dma(l + off, rn, slot).start()
+
+        # --- KV window streamer (double-buffered across layers) -----------
+        def kv_dma(buf, l, b, which):
+            src = (k_hbm if which == 0 else v_hbm).at[l, b]
+            dst = (kbuf if which == 0 else vbuf).at[
+                buf, :W, b * nkv * hd : (b + 1) * nkv * hd
+            ]
+            return pltpu.make_async_copy(src, dst, sem_kv.at[buf, which, b])
+
+        def kv_start(buf, l):
+            for b in range(B):
+                kv_dma(buf, l, b, 0).start()
+                kv_dma(buf, l, b, 1).start()
+
+        def kv_wait(buf, l):
+            for b in range(B):
+                kv_dma(buf, l, b, 0).wait()
+                kv_dma(buf, l, b, 1).wait()
+
+        # --- warm-up: fill the rings and the first KV window ---------------
+        kv_start(0, 0)
+        n_a, n_b = L * epl + 1, L * n_dn
+        for e in range(min(depth, n_a)):
+            if e < L * epl:
+                a_dma(e // epl, e % epl, e % depth).start()
+            else:
+                head_dma(e % depth).start()
+        for e in range(min(depth, n_b)):
+            b_dma(e // n_dn, e % n_dn, e % depth).start()
+        # Zero the window padding rows (uninitialized VMEM may hold NaN and
+        # 0-prob × NaN would poison the attention output; the emulator's
+        # explicit zero rows are the contract).
+        for buf in range(2):
+            kbuf[buf, W:, :] = jnp.zeros((Wp - W, C * hd), jnp.bfloat16)
+            vbuf[buf, W:, :] = jnp.zeros((Wp - W, C * hd), jnp.bfloat16)
+
+        bias = bias_ref[:]
+        cos_qf, sin_qf = cos_qf_ref[:], sin_qf_ref[:]
+        cos_kf, sin_kf = cos_kf_ref[:], sin_kf_ref[:]
+
+        def layer_body(l, h):
+            @pl.when(l + 1 < L)
+            def _():
+                kv_start(jax.lax.rem(l + 1, 2), l + 1)
+
+            # -- attention ----------------------------------------------
+            rs = _rms_scale(h, eps)
+            slot = slot_a(l, 0)
+            a_dma(l, 0, slot).wait()
+            qkv = _qdot(h.astype(jnp.bfloat16), ring_a[slot][:, :QKVN])
+            issue_next_a(l, 0, slot)
+            qkv = qkv * s_qkv[l] * rs
+
+            buf = jax.lax.rem(l, 2)
+            kv_wait(buf, l)
+
+            def write_row(k_row, v_row):
+                kbuf[buf, pl.ds(W, 1), :] = k_row
+                vbuf[buf, pl.ds(W, 1), :] = v_row
+
+            attn, k_new, v_new = _layer_attention(
+                qkv,
+                lambda: kbuf[buf],
+                lambda: vbuf[buf],
+                write_row, bias,
+                cos_qf, sin_qf, cos_kf, sin_kf, nq, nkv, hd, W,
+            )
+            nk_ref[l] = k_new.astype(jnp.bfloat16)
+            nv_ref[l] = v_new.astype(jnp.bfloat16)
+
+            slot = slot_a(l, 1)
+            a_dma(l, 1, slot).wait()
+            wo_out = _qdot(attn.astype(jnp.bfloat16), ring_a[slot][:, :D])
+            issue_next_a(l, 1, slot)
+            h = h + wo_out * s_wo[l]
+
+            # -- MLP ------------------------------------------------------
+            rs = _rms_scale(h, eps)
+            h_bf = h.astype(jnp.bfloat16)
+            parts = []
+            for c in range(n_gu):
+                slot = slot_a(l, 2 + c)
+                a_dma(l, 2 + c, slot).wait()
+                acc = _qdot(h_bf, ring_a[slot][:, :chunk_gu])
+                issue_next_a(l, 2 + c, slot)
+                parts.append(acc * s_gu[l][:, c * chunk_gu : (c + 1) * chunk_gu])
+            gu = jnp.concatenate(parts, axis=1) * rs  # [B, 2F] f32
+            gated = (jax.nn.silu(gu[:, :F]) * gu[:, F:]).astype(jnp.bfloat16)
+            dn_acc = jnp.zeros((B, D), jnp.float32)
+            for r in range(n_dn):
+                slot = slot_b(l, r)
+                b_dma(l, r, slot).wait()
+                dn_acc = dn_acc + _qdot(
+                    gated[:, r * chunk_dn : (r + 1) * chunk_dn], ring_b[slot]
+                )
+                issue_next_b(l, r, slot)
+            return h + dn_acc * s_dn[l]
+
+        h = jax.lax.fori_loop(0, L, layer_body, h0_ref[:].astype(jnp.float32))
+
+        # -- final norm + c0 head ------------------------------------------
+        rs_f = _rms_scale(h, eps)
+        nh_ref[:] = h * rs_f * fnw_ref[0][None, :]
+        slot = (L * epl) % depth
+        head_dma(slot).wait()
+        logits = _qdot(h.astype(jnp.bfloat16), ring_a[slot][:, :Va_pad])
+        # Round through bf16: the XLA path's c0 head matmul outputs bf16
+        # (modeling parity for the downstream top-k filter).
+        lg_ref[:] = (
+            (logits * s_head[:] * rs_f).astype(jnp.bfloat16).astype(jnp.float32)
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("config", "interpret"))
+def bb_decode_step(
+    qsb: dict,
+    config: CSMConfig,
+    h0: jnp.ndarray,  # [B, D] — frame embedding (embed-sum, done outside)
+    cos: jnp.ndarray,  # [B, hd] f32 — RoPE values at each stream's position
+    sin: jnp.ndarray,  # [B, hd] f32
+    bias_w: jnp.ndarray,  # [B, W] f32 — 0 usable / NEG_INF masked key slots
+    k_cache: jnp.ndarray,  # [L, B, W, nkv, hd] bf16 (the KVCache arrays)
+    v_cache: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One backbone decode step through the streamed-weight kernel.
+
+    Returns ``(normed_h [B, D] f32, c0_logits [B, Va] f32,
+    new_k [L, B, nkv, hd] bf16, new_v [L, B, nkv, hd] bf16)``.  The caller
+    scatters the new rows into the cache (the kernel is pure).
+    """
+    bcfg = config.backbone
+    L, D = bcfg.num_hidden_layers, bcfg.hidden_size
+    nq, nkv, hd = bcfg.num_attention_heads, bcfg.num_key_value_heads, bcfg.head_dim
+    Va = config.audio_vocab_size
+    Va_pad = -(-Va // 128) * 128
+    B = h0.shape[0]
+    W = k_cache.shape[2]
+    Wp = W + 8  # row W = new token; rows W+1.. masked padding
+    C = B * nkv
+
+    # Ring depth: 3 when VMEM allows (two rings + two KV window buffers).
+    dims = _dims(config)
+    ring_bytes = D * dims["a_cols"] + dims["chunk_dn"] * D
+    kv_bytes = 2 * 2 * Wp * C * hd * 2
+    depth = 3 if (3 * ring_bytes + kv_bytes) < 100 * 1024 * 1024 else 2
+
+    kernel = _make_kernel(config, B, W, Wp, depth)
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, D), jnp.float32),
+        jax.ShapeDtypeStruct((B, Va_pad), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, nkv * hd), jnp.bfloat16),
+        jax.ShapeDtypeStruct((L, B, nkv * hd), jnp.bfloat16),
+    )
+    vmem_limit = depth * ring_bytes + kv_bytes + Va_pad * D + 24 * 1024 * 1024
+
+    nh, lg, nk, nv = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        in_specs=[vm] * 12 + [anyspec] * 7,
+        out_specs=(vm, vm, vm, vm),
+        scratch_shapes=[
+            pltpu.VMEM((depth, D, dims["a_cols"]), jnp.int8),
+            pltpu.VMEM((depth, dims["chunk_dn"], D), jnp.int8),
+            pltpu.VMEM((2, Wp, C * hd), jnp.bfloat16),
+            pltpu.VMEM((2, Wp, C * hd), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((depth,)),
+            pltpu.SemaphoreType.DMA((2, 2, B)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(int(vmem_limit), 127 * 1024 * 1024),
+        ),
+        interpret=interpret,
+    )(
+        h0.astype(jnp.float32),
+        *rope_tables_flat(cos, sin, nq, nkv, hd),
+        bias_w.astype(jnp.float32),
+        qsb["final_norm"].reshape(1, D),
+        qsb["s"]["wqkv"], qsb["s"]["wo"], qsb["s"]["w_gu"], qsb["s"]["w_down"],
+        qsb["s"]["head"],
+        qsb["w"]["wqkv"], qsb["w"]["wo"], qsb["w"]["w_gu"], qsb["w"]["w_down"],
+        qsb["w"]["head"],
+        k_cache.reshape(L, B, W, nkv * hd).astype(jnp.bfloat16),
+        v_cache.reshape(L, B, W, nkv * hd).astype(jnp.bfloat16),
+    )
+    return (
+        nh,
+        lg[:, :Va],
+        nk.reshape(L, B, nkv, hd),
+        nv.reshape(L, B, nkv, hd),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Emulator (pure-JAX oracle — op-for-op identical chunked math)
+# ---------------------------------------------------------------------------
+
+
+def emulate_bb_decode_step(
+    qsb: dict,
+    config: CSMConfig,
+    h0: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    bias_w: jnp.ndarray,
+    k_cache: jnp.ndarray,  # [L, B, W, nkv, hd]
+    v_cache: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pure-JAX replica of the kernel's arithmetic: same chunk boundaries
+    (gate-up column chunks, down-proj row-chunk partial sums), same one-hot
+    movement matmuls, same casts, same merged window with the new-token
+    row.  Compare under jit (see module docstring)."""
+    bcfg = config.backbone
+    L, D, F = bcfg.num_hidden_layers, bcfg.hidden_size, bcfg.intermediate_size
+    nq, nkv, hd = bcfg.num_attention_heads, bcfg.num_key_value_heads, bcfg.head_dim
+    eps = bcfg.rms_norm_eps
+    Va = config.audio_vocab_size
+    B = h0.shape[0]
+    W = k_cache.shape[2]
+    Wp = W + 8
+    C = B * nkv
+    dims = _dims(config)
+    QKVN = dims["QKVN"]
+    chunk_gu, n_gu = dims["chunk_gu"], dims["n_gu"]
+    chunk_dn, n_dn = dims["chunk_dn"], dims["n_dn"]
+
+    k_cache = k_cache.reshape(L, B, W, nkv * hd).astype(jnp.bfloat16)
+    v_cache = v_cache.reshape(L, B, W, nkv * hd).astype(jnp.bfloat16)
+
+    h = h0.astype(jnp.float32)
+    cos_qf, sin_qf, cos_kf, sin_kf = rope_tables_flat(cos, sin, nq, nkv, hd)
+    bias_w = bias_w.astype(jnp.float32)
+    nk, nv = [], []
+    for l in range(L):
+        rs = _rms_scale(h, eps)
+        qkv = _qdot(h.astype(jnp.bfloat16), qsb["w"]["wqkv"][l][:, :QKVN])
+        qkv = qkv * qsb["s"]["wqkv"][l] * rs
+
+        row = {}
+
+        def write_row(k_row, v_row, _row=row):
+            _row["k"] = k_row
+            _row["v"] = v_row
+
+        base_k = k_cache[l].transpose(1, 0, 2).reshape(W, C * hd)
+        base_v = v_cache[l].transpose(1, 0, 2).reshape(W, C * hd)
+        zeros = jnp.zeros((Wp - W - 1, C * hd), jnp.bfloat16)
+        attn, k_new, v_new = _layer_attention(
+            qkv,
+            lambda: jnp.concatenate([base_k, row["k"], zeros]),
+            lambda: jnp.concatenate([base_v, row["v"], zeros]),
+            write_row, bias_w,
+            cos_qf, sin_qf, cos_kf, sin_kf, nq, nkv, hd, W,
+        )
+        nk.append(k_new.astype(jnp.bfloat16))
+        nv.append(v_new.astype(jnp.bfloat16))
+        h = h + _qdot(attn.astype(jnp.bfloat16), qsb["w"]["wo"][l]) * qsb["s"]["wo"][l]
+
+        rs = _rms_scale(h, eps)
+        h_bf = h.astype(jnp.bfloat16)
+        parts = [
+            _qdot(h_bf, qsb["w"]["w_gu"][l][:, c * chunk_gu : (c + 1) * chunk_gu])
+            * qsb["s"]["w_gu"][l][:, c * chunk_gu : (c + 1) * chunk_gu]
+            for c in range(n_gu)
+        ]
+        gu = jnp.concatenate(parts, axis=1) * rs
+        gated = (jax.nn.silu(gu[:, :F]) * gu[:, F:]).astype(jnp.bfloat16)
+        dn_acc = jnp.zeros((B, D), jnp.float32)
+        for r in range(n_dn):
+            dn_acc = dn_acc + _qdot(
+                gated[:, r * chunk_dn : (r + 1) * chunk_dn],
+                qsb["w"]["w_down"][l][r * chunk_dn : (r + 1) * chunk_dn, :],
+            )
+        h = h + dn_acc * qsb["s"]["w_down"][l]
+
+    rs_f = _rms_scale(h, eps)
+    nh = h * rs_f * qsb["final_norm"][None, :]
+    logits = (
+        (_qdot(h.astype(jnp.bfloat16), qsb["w"]["head"]) * qsb["s"]["head"] * rs_f)
+        .astype(jnp.bfloat16)
+        .astype(jnp.float32)
+    )
+    return (
+        nh,
+        logits[:, :Va],
+        jnp.stack(nk).reshape(L, B, nkv, hd),
+        jnp.stack(nv).reshape(L, B, nkv, hd),
+    )

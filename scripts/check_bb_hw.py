@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Hardware check for the streamed-weight backbone kernel: Mosaic-compiled
+kernel vs the jitted pure-JAX emulator at full CSM-1B scale, plus an
+in-program timing of the kernel alone (scan-amortized)."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, reps=5, warmup=2):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return min(ts) * 1e3
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_csm")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    from csm_tpu.config import CSMConfig
+    from csm_tpu.models import csm
+    from csm_tpu.ops.bb_kernel import (
+        bb_decode_step, emulate_bb_decode_step, prepare_streamed_backbone,
+    )
+
+    config = CSMConfig()
+    bcfg = config.backbone
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    W = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    params = jax.jit(lambda k: csm.init_params(k, config, jnp.bfloat16))(
+        jax.random.key(0)
+    )
+    qsb = jax.jit(lambda p: prepare_streamed_backbone(p, config))(params)
+    np.asarray(qsb["final_norm"])
+
+    rng = np.random.default_rng(0)
+    h0 = jnp.asarray(0.1 * rng.standard_normal((B, bcfg.hidden_size)), jnp.float32)
+    cos = jnp.asarray(rng.standard_normal((B, bcfg.head_dim)), jnp.float32)
+    sin = jnp.asarray(rng.standard_normal((B, bcfg.head_dim)), jnp.float32)
+    valid = rng.random((B, W)) < 0.6
+    bias = jnp.where(jnp.asarray(valid), 0.0, -1e9).astype(jnp.float32)
+    shape = (bcfg.num_hidden_layers, B, W, bcfg.num_key_value_heads, bcfg.head_dim)
+    kc = jnp.asarray(0.3 * rng.standard_normal(shape), jnp.bfloat16)
+    vc = jnp.asarray(0.3 * rng.standard_normal(shape), jnp.bfloat16)
+
+    kern = jax.jit(lambda q, *a: bb_decode_step(q, config, *a))
+    emu = jax.jit(lambda q, *a: emulate_bb_decode_step(q, config, *a))
+    out_k = kern(qsb, h0, cos, sin, bias, kc, vc)
+    out_e = emu(qsb, h0, cos, sin, bias, kc, vc)
+    ok = True
+    # Mosaic and XLA may tile a dot's accumulation differently on the chip;
+    # each bf16 operand cast then rounds a 1-ulp-different value, and 16
+    # residual layers compound that to a few percent on the worst element.
+    # The CPU interpreter tests pin BIT-exactness of the math itself; the
+    # hardware contract here is "within a few bf16 ulps after 16 layers".
+    for name, a, b in zip(("nh", "logits", "nk", "nv"), out_k, out_e):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale_ref = np.abs(b).max() + 1e-9
+        rel = np.abs(a - b).max() / scale_ref
+        passed = rel < 3e-2
+        ok &= bool(passed)
+        print(f"{name:8s}: rel={rel:.2e} max|d|={np.abs(a-b).max():.3e} "
+              f"({'OK' if passed else 'FAIL'})")
+
+    # Accuracy contract vs the bf16 XLA decode path (same as test_quant's
+    # int8 contract, at full 1B scale): greedy c0 must agree.
+    from csm_tpu.models.llama import KVCache
+
+    # per-draw ids are built in the loop below
+    mask = jnp.ones((B, 1, config.frame_width), jnp.float32)
+    fill = W // 2
+    cache = KVCache.create(config.backbone, B, W, dtype=jnp.bfloat16)
+    cache = cache.replace(
+        k=kc.reshape(cache.k.shape) * 0.0 + kc.reshape(cache.k.shape),
+        v=vc.reshape(cache.v.shape),
+        valid=cache.valid.at[:, :fill].set(True),
+        index=jnp.int32(fill),
+    )
+
+    @jax.jit
+    def xla_step(p, c, i):
+        out = csm.forward(p, config, i, mask, cache=c)
+        return out.last_hidden_state, out.logits
+
+    @jax.jit
+    def qsb_step(p, q, c, i):
+        out = csm.forward(p, config, i, mask, cache=c, qsb=q)
+        return out.last_hidden_state, out.logits
+
+    from csm_tpu.ops.rope import compute_rope_table
+
+    rope = compute_rope_table(config.backbone, config.max_seq_len)
+    pos = jnp.full((B,), fill, jnp.int32)
+    cos_d = jnp.take(rope[0], pos, axis=0)
+    sin_d = jnp.take(rope[1], pos, axis=0)
+    bias_d = jnp.where(cache.valid, 0.0, -1e9).astype(jnp.float32)
+
+    @jax.jit
+    def emu_logits(p, q, i):
+        h0_d = csm.embed_frames(p, config, i, mask)[:, 0, :]
+        return emulate_bb_decode_step(
+            q, config, h0_d, cos_d, sin_d, bias_d, cache.k, cache.v
+        )[1]
+
+    # GATE: greedy c0 agreement kernel-vs-EMULATOR (same quantized weights,
+    # so only Mosaic-vs-XLA dot tiling differs; a near-tied top pair may
+    # flip on one draw).  The unquantized-bf16 comparison is reported for
+    # context but gated only loosely — its deltas are dominated by the
+    # int8 weight quantization that the accepted W8A8 XLA path shares.
+    lg_rels, m_emu, m_bf16 = [], 0, 0
+    n_draws = 4
+    for d in range(n_draws):
+        ids_d = jnp.zeros((B, 1, config.frame_width), jnp.int32).at[..., :-1].set(
+            jnp.asarray(
+                np.random.default_rng(d).integers(
+                    1, config.audio_vocab_size, (B, 1, 32)
+                )
+            )
+        )
+        lh_ref, lg_ref = xla_step(params, cache, ids_d)
+        lh_q, lg_q = qsb_step(params, qsb, cache, ids_d)
+        lg_e = np.asarray(emu_logits(params, qsb, ids_d), np.float64)
+        lg_ref = np.asarray(lg_ref, np.float64)
+        lg_q = np.asarray(lg_q, np.float64)
+        lg_rels.append(np.abs(lg_q - lg_ref).max() / (np.abs(lg_ref).max() + 1e-9))
+        m_emu += int((np.argmax(lg_q, -1) == np.argmax(lg_e, -1)).all())
+        m_bf16 += int((np.argmax(lg_q, -1) == np.argmax(lg_ref, -1)).all())
+    rel = max(lg_rels)
+    ok &= m_emu >= n_draws - 1 and bool(rel < 0.15)
+    print(f"greedy c0: kernel==emulator {m_emu}/{n_draws} (gate), "
+          f"kernel==bf16-XLA {m_bf16}/{n_draws} (quant-error context); "
+          f"c0-logit rel vs bf16 {rel:.2e}")
+
+    # scan-amortized kernel timing (data dependency through h0)
+    def scan_kernel(q, h, n):
+        def body(hh, _):
+            nh, lg, nk, nv = bb_decode_step(q, config, hh, cos, sin, bias, kc, vc)
+            return nh * 0.01, lg[0, 0]
+        _, ls = jax.lax.scan(body, h, None, length=n)
+        return ls.sum()
+
+    f = jax.jit(scan_kernel, static_argnames=("n",))
+    t_hi = timed(lambda: np.asarray(f(qsb, h0, 40)))
+    t_lo = timed(lambda: np.asarray(f(qsb, h0, 5)))
+    per = (t_hi - t_lo) / 35
+    print(f"bb kernel (B={B}, W={W}): {per:.3f} ms/step "
+          f"(XLA int8 path was ~1.57 ms at W=256)")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
