@@ -253,25 +253,24 @@ def _attend_flat(
     q_rows: jnp.ndarray,  # [B*nq, hd] f32 (rotated, standard dim order)
     k_win: jnp.ndarray,  # [Wp, B*nkv*hd] bf16 — row W = the new key
     v_win: jnp.ndarray,  # [Wp, B*nkv*hd] bf16
-    bias: jnp.ndarray,  # [B, W] f32 — 0 = usable key slot, NEG_INF = not
+    bias: jnp.ndarray,  # [B, Wp] f32 — 0 = usable key slot, NEG_INF = not
     B: int,
     nq: int,
     nkv: int,
-    W: int,
 ) -> jnp.ndarray:
     """Block-diagonal merged GQA over a biased window (decode step, T=1) —
     all streams and heads in two big dots, with one-hot matmuls for the
     block scatter/gather (no shape casts).
 
-    Key validity comes from the caller's bias vector; window row ``W``
-    holds the token's own new K/V (always attendable), rows past it are
-    masked.  Returns attention output rows ``[B*nq, hd]`` f32.
+    Key validity comes from the caller's PRE-PADDED bias vector: row ``W``
+    (the token's own new K/V) carries 0, padding rows past it NEG_INF —
+    padding happens outside the kernel so no lane concat is needed here.
+    Returns attention output rows ``[B*nq, hd]`` f32.
     """
     hd = q_rows.shape[-1]
     g = nq // nkv
     R = B * nq
     C = B * nkv
-    Wp = k_win.shape[0]
     scale = 1.0 / (hd ** 0.5)
 
     # qz[r, cb*hd + d] = q_rows[r, d] iff cb == block(r) = (b, head//g)
@@ -288,13 +287,8 @@ def _attend_flat(
         preferred_element_type=jnp.float32,
     ) * scale  # [R, Wp]
     selb = (_iota2((R, B), 0) // nq == _iota2((R, B), 1)).astype(jnp.float32)
-    bias_rows = _fdot(selb, bias)  # [R, W] (bias values are 0/NEG_INF: exact)
-    colw = _iota2((R, Wp), 1)
-    full_bias = jnp.concatenate(
-        [bias_rows, jnp.zeros((R, Wp - W), jnp.float32)], axis=1
-    )
-    ok = (full_bias >= 0) & (colw <= W)
-    scores = jnp.where(ok, scores, NEG_INF)
+    bias_rows = _fdot(selb, bias)  # [R, Wp] (bias values are 0/NEG_INF: exact)
+    scores = jnp.where(bias_rows >= 0, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -309,11 +303,19 @@ def _attend_flat(
 
 
 def _merge_streams(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, n] -> [1, B*n] by lane concatenation (the merged window row)."""
-    B = x.shape[0]
+    """[B, n] -> [1, B*n] (the merged window row), via two exact one-hot
+    matmuls — a B-way lane concat of row slices trips a Mosaic internal
+    error at B=8, and the kernel's style is MXU data movement anyway."""
+    B, n = x.shape
     if B == 1:
         return x
-    return jnp.concatenate([x[b : b + 1] for b in range(B)], axis=1)
+    tile = (_iota2((n, B * n), 1) % n == _iota2((n, B * n), 0)).astype(
+        jnp.float32
+    )  # [n, B*n]: replicate each lane into every stream block
+    own = (_iota2((B, B * n), 1) // n == _iota2((B, B * n), 0)).astype(
+        jnp.float32
+    )  # [B, B*n]: stream b owns block b
+    return _fdot(jnp.ones((1, B), jnp.float32), _fdot(x, tile) * own)
 
 
 def _layer_attention(
@@ -322,7 +324,7 @@ def _layer_attention(
     k_win_fn,  # () -> [Wp, B*nkv*hd] bf16 window (with row W pre-written)
     v_win_fn,
     write_row_fn,  # (k_row [1, B*nkv*hd], v_row) -> None — called pre-attend
-    bias: jnp.ndarray,  # [B, W] f32
+    bias: jnp.ndarray,  # [B, Wp] f32 (pre-padded: row W = 0, beyond = NEG_INF)
     cos_qf: jnp.ndarray,  # [B, nq*hd] f32 flat permuted rope tables
     sin_qf: jnp.ndarray,
     cos_kf: jnp.ndarray,  # [B, nkv*hd]
@@ -330,7 +332,6 @@ def _layer_attention(
     nq: int,
     nkv: int,
     hd: int,
-    W: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """RoPE + window update + GQA attention for one layer; shared verbatim
     by the kernel and the emulator.  Returns ``(attn [B, nq*hd] standard
@@ -346,7 +347,7 @@ def _layer_attention(
         _merge_streams(v_new).astype(jnp.bfloat16),
     )
     q_rows = _rows_from_flat(q_roped, B, nq, hd)  # [B*nq, hd]
-    out_rows = _attend_flat(q_rows, k_win_fn(), v_win_fn(), bias, B, nq, nkv, W)
+    out_rows = _attend_flat(q_rows, k_win_fn(), v_win_fn(), bias, B, nq, nkv)
     attn = _flat_from_rows(out_rows, B, nq, hd)  # [B, nq*hd] standard
     return attn, k_new, v_new
 
@@ -398,7 +399,7 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
         h0_ref,  # VMEM (B, D) f32
         cos_qf_ref, sin_qf_ref,  # VMEM (B, nq*hd) f32 — flat permuted tables
         cos_kf_ref, sin_kf_ref,  # VMEM (B, nkv*hd) f32
-        bias_ref,  # VMEM (B, W) f32
+        bias_ref,  # VMEM (B, Wp) f32 (pre-padded by the caller)
         fnw_ref,  # VMEM (1, D) f32
         s_qkv, s_wo, s_gu, s_dn,  # VMEM f32 [L, 1, N]
         s_head,  # VMEM f32 (1, Va_pad)
@@ -546,7 +547,7 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
                 lambda: kbuf[buf],
                 lambda: vbuf[buf],
                 write_row, bias,
-                cos_qf, sin_qf, cos_kf, sin_kf, nq, nkv, hd, W,
+                cos_qf, sin_qf, cos_kf, sin_kf, nq, nkv, hd,
             )
             nk_ref[l] = k_new.astype(jnp.bfloat16)
             nv_ref[l] = v_new.astype(jnp.bfloat16)
@@ -631,6 +632,14 @@ def bb_decode_step(
     kv_bytes = 2 * 2 * Wp * C * hd * 2
     depth = 3 if (3 * ring_bytes + kv_bytes) < 100 * 1024 * 1024 else 2
 
+    # Pre-pad the bias to the full window: row W (the token's own new K/V)
+    # is always attendable, padding rows beyond are masked — done here so
+    # the kernel needs no lane concat.
+    bias_p = jnp.pad(
+        bias_w.astype(jnp.float32), ((0, 0), (0, Wp - W)),
+        constant_values=NEG_INF,
+    ).at[:, W].set(0.0)
+
     kernel = _make_kernel(config, B, W, Wp, depth)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
@@ -664,7 +673,7 @@ def bb_decode_step(
     )(
         h0.astype(jnp.float32),
         *rope_tables_flat(cos, sin, nq, nkv, hd),
-        bias_w.astype(jnp.float32),
+        bias_p,
         qsb["final_norm"].reshape(1, D),
         qsb["s"]["wqkv"], qsb["s"]["wo"], qsb["s"]["w_gu"], qsb["s"]["w_down"],
         qsb["s"]["head"],
@@ -719,7 +728,10 @@ def emulate_bb_decode_step(
 
     h = h0.astype(jnp.float32)
     cos_qf, sin_qf, cos_kf, sin_kf = rope_tables_flat(cos, sin, nq, nkv, hd)
-    bias_w = bias_w.astype(jnp.float32)
+    bias_p = jnp.pad(
+        bias_w.astype(jnp.float32), ((0, 0), (0, Wp - W)),
+        constant_values=NEG_INF,
+    ).at[:, W].set(0.0)
     nk, nv = [], []
     for l in range(L):
         rs = _rms_scale(h, eps)
@@ -739,8 +751,8 @@ def emulate_bb_decode_step(
             qkv,
             lambda: jnp.concatenate([base_k, row["k"], zeros]),
             lambda: jnp.concatenate([base_v, row["v"], zeros]),
-            write_row, bias_w,
-            cos_qf, sin_qf, cos_kf, sin_kf, nq, nkv, hd, W,
+            write_row, bias_p,
+            cos_qf, sin_qf, cos_kf, sin_kf, nq, nkv, hd,
         )
         nk.append(k_new.astype(jnp.bfloat16))
         nv.append(v_new.astype(jnp.bfloat16))

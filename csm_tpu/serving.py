@@ -196,6 +196,7 @@ class CSMServer:
         max_new_frames: int = 100,
         qdec: Optional[dict] = None,
         qbb: Optional[dict] = None,
+        qsb: Optional[dict] = None,
     ):
         self.params = params
         self.config = config
@@ -205,14 +206,16 @@ class CSMServer:
         self.stop_on_all_zeros = stop_on_all_zeros
         self.default_max_new_frames = max_new_frames
 
-        # Quantized fast paths (csm_tpu/ops/{fused_decoder,quant}): the
-        # batched fused decoder kernel rides the same serial matvecs for all
-        # slots, and the int8 backbone halves decode-step weight traffic.
-        # Prefill always stays bf16.  The bundles are jit ARGUMENTS, never
-        # closure captures — captured pytrees get inlined into the HLO as
-        # constants (a gigabyte of weights in the compile request).
+        # Quantized fast paths (csm_tpu/ops/{fused_decoder,quant,bb_kernel}):
+        # the batched fused decoder kernel rides the same serial matvecs for
+        # all slots, the int8 backbone halves decode-step weight traffic, and
+        # ``qsb`` replaces it with the streamed-weight backbone kernel
+        # (fastest; B ≤ 8).  Prefill always stays bf16.  The bundles are jit
+        # ARGUMENTS, never closure captures — captured pytrees get inlined
+        # into the HLO as constants (a gigabyte of weights in the request).
         self._qdec = qdec
         self._qbb = qbb
+        self._qsb = qsb
         self._prefill = jax.jit(
             lambda p, ids, mask, tl, cache, keys, qd: generate_frame(
                 p, config, ids, mask, cache=cache, rng=keys,
@@ -221,17 +224,17 @@ class CSMServer:
             )
         )
         self._step = jax.jit(
-            lambda p, ids, mask, cache, keys, qd, qb: generate_frame(
+            lambda p, ids, mask, cache, keys, qd, qb, qs: generate_frame(
                 p, config, ids, mask, cache=cache, rng=keys,
                 temperature=temperature, topk=topk, greedy=greedy,
-                qdec=qd, qbb=qb,
+                qdec=qd, qbb=qb, qsb=qs,
             )
         )
 
         # Device-side multi-step loop: one dispatch advances every slot by
         # ``n`` frames (a lax.scan of the step body) — host round-trip cost
         # amortizes over the chunk.  Admission only happens between chunks.
-        def _steps(p, cache, rngs, last, qd, qb, n):
+        def _steps(p, cache, rngs, last, qd, qb, qs, n):
             def body(carry, _):
                 cache, rngs, last = carry
                 ids, mask = _next_frame_inputs(config, last)
@@ -239,7 +242,7 @@ class CSMServer:
                 out = generate_frame(
                     p, config, ids, mask, cache=cache, rng=pair[:, 1],
                     temperature=temperature, topk=topk, greedy=greedy,
-                    qdec=qd, qbb=qb,
+                    qdec=qd, qbb=qb, qsb=qs,
                 )
                 return (out.cache, pair[:, 0], out.samples), out.samples
 
@@ -370,7 +373,7 @@ class CSMServer:
         self._rngs = pair[:, 0]
         out = self._step(
             self.params, ids, mask, self.cache, pair[:, 1],
-            self._qdec, self._qbb,
+            self._qdec, self._qbb, self._qsb,
         )
         self.cache = out.cache
         self._last = out.samples
@@ -396,7 +399,7 @@ class CSMServer:
         rid_at_start = list(self._slot_req)
         cache, rngs, last, frames = self._step_many(
             self.params, self.cache, self._rngs, self._last,
-            self._qdec, self._qbb, n,
+            self._qdec, self._qbb, self._qsb, n,
         )
         self.cache, self._rngs, self._last = cache, rngs, last
         frames = np.asarray(frames)  # [n, B, 32]

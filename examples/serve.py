@@ -52,18 +52,23 @@ def main():
     model = CSMModel.from_pretrained(args.model, dtype=jnp.bfloat16)
     processor = CSMProcessor(tokenizer, mimi)
 
-    qdec = qbb = None
+    qdec = qbb = qsb = None
     if not args.no_quant and jax.default_backend() != "cpu":
+        from csm_tpu.ops.bb_kernel import prepare_streamed_backbone
         from csm_tpu.ops.fused_decoder import prepare_fused_decoder
         from csm_tpu.ops.quant import prepare_quantized_backbone
 
         print("quantizing fast paths (one-time)...")
         qdec = jax.jit(lambda p: prepare_fused_decoder(p, model.config))(model.params)
         qbb = jax.jit(lambda p: prepare_quantized_backbone(p, model.config))(model.params)
+        if args.slots <= 8:
+            qsb = jax.jit(
+                lambda p: prepare_streamed_backbone(p, model.config)
+            )(model.params)
 
     server = CSMServer(
         model.params, model.config, n_slots=args.slots, window=args.window,
-        max_new_frames=args.frames, qdec=qdec, qbb=qbb,
+        max_new_frames=args.frames, qdec=qdec, qbb=qbb, qsb=qsb,
     )
 
     rids = {}

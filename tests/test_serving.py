@@ -220,3 +220,35 @@ def test_step_many_chunked_matches_single_steps():
     assert a.keys() == b.keys()
     for rid in a:
         np.testing.assert_array_equal(a[rid], b[rid])
+
+
+def test_server_with_streamed_backbone_kernel():
+    """CSMServer(qsb=...) routes decode steps through the streamed-weight
+    backbone kernel (interpret mode on CPU): all requests complete, frames
+    are in range, and runs are deterministic."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.ops.bb_kernel import prepare_streamed_backbone
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    qsb = jax.jit(lambda p: prepare_streamed_backbone(p, cfg))(params)
+    budget = 3
+
+    def run():
+        server = CSMServer(params, cfg, n_slots=2, window=64, greedy=True,
+                           max_new_frames=budget, qsb=qsb)
+        keys = [jax.random.key(7), jax.random.key(8)]
+        prompts = [_prompt(cfg, 4 + 2 * i, seed=60 + i) for i in range(2)]
+        rids = [server.submit(p[0], p[1], rng=k) for p, k in zip(prompts, keys)]
+        server.run_until_idle()
+        return [server.results[r] for r in rids]
+
+    a = run()
+    b = run()
+    for fa, fb in zip(a, b):
+        assert fa.shape[-1] == cfg.audio_num_codebooks
+        assert (fa >= 0).all() and (fa < cfg.audio_vocab_size).all()
+        np.testing.assert_array_equal(fa, fb)
