@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--cache-len", type=int, default=256)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--streamed", action="store_true",
+                    help="route the backbone through the streamed-weight "
+                    "kernel (qsb) instead of the W8A8 XLA path")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_csm")
@@ -56,6 +59,12 @@ def main():
     qdec = jax.jit(lambda p: prepare_fused_decoder(p, config))(params)
     qbb = jax.jit(lambda p: prepare_quantized_backbone(p, config))(params)
     np.asarray(qdec["s"]["wq"]); np.asarray(qbb["s"]["wqkv"])
+    qsb = None
+    if args.streamed:
+        from csm_tpu.ops.bb_kernel import prepare_streamed_backbone
+
+        qsb = jax.jit(lambda p: prepare_streamed_backbone(p, config))(params)
+        np.asarray(qsb["final_norm"])
 
     mask = jnp.ones((B, 1, config.frame_width), jnp.float32)
     cache0 = KVCache.create(config.backbone, B, CL, dtype=jnp.bfloat16)
@@ -65,17 +74,17 @@ def main():
 
     def measure(scan_fn, init, n, label):
         f = jax.jit(scan_fn, static_argnames=("n",))
-        t_hi = timed(lambda: np.asarray(f(params, qbb, qdec, init, n=n)))
-        t_lo = timed(lambda: np.asarray(f(params, qbb, qdec, init, n=5)))
+        t_hi = timed(lambda: np.asarray(f(params, qbb, qdec, qsb, init, n=n)))
+        t_lo = timed(lambda: np.asarray(f(params, qbb, qdec, qsb, init, n=5)))
         per = (t_hi - t_lo) / (n - 5)
         print(f"{label:28s}: {per:7.3f} ms/iter")
         return per
 
     # A. backbone decode step only (cache carried; samples fed from hidden)
-    def scan_bb(p, qb, qd, init, n):
+    def scan_bb(p, qb, qd, qs, init, n):
         def body(carry, _):
             cache, ids = carry
-            out = csm.forward(p, config, ids, mask, cache=cache, qbb=qb)
+            out = csm.forward(p, config, ids, mask, cache=cache, qbb=qb, qsb=qs)
             cache = out.cache.replace(index=jnp.int32(CL // 2))  # stay in window
             ids = ids.at[..., 0].set(
                 (out.last_hidden_state[:, :1] > 0).astype(jnp.int32)[:, 0:1]
@@ -86,13 +95,16 @@ def main():
         )
         return ls.sum()
 
-    t_bb = measure(scan_bb, cache0, N_IT, "backbone step (int8)")
+    t_bb = measure(
+        scan_bb, cache0, N_IT,
+        "backbone step (streamed)" if args.streamed else "backbone step (int8)",
+    )
 
     # B. fused decoder kernel only (x depends on previous samples)
     last_h0 = jnp.zeros((B, config.backbone.hidden_size), jnp.bfloat16)
     c0_logits0 = jnp.zeros((B, config.audio_vocab_size), jnp.float32)
 
-    def scan_dec(p, qb, qd, init, n):
+    def scan_dec(p, qb, qd, qs, init, n):
         def body(carry, k):
             lh, lg = carry
             s = decode_frame(p, config, lh, lg, k, 1.0, 50, False, qdec=qd)
@@ -108,12 +120,12 @@ def main():
     # C. whole frame step (bb + c0 sample + decoder + next inputs)
     from csm_tpu.generation import generate_frame, _next_frame_inputs
 
-    def scan_frame(p, qb, qd, init, n):
+    def scan_frame(p, qb, qd, qs, init, n):
         def body(carry, k):
             cache, frame = carry
             ids, m = _next_frame_inputs(config, frame)
             out = generate_frame(p, config, ids, m, cache=cache, rng=k,
-                                 qdec=qd, qbb=qb)
+                                 qdec=qd, qbb=qb, qsb=qs)
             cache = out.cache.replace(index=jnp.int32(CL // 2))
             return (cache, out.samples), out.samples[0, 0]
         keys = jax.random.split(jax.random.key(0), n)
