@@ -9,12 +9,12 @@ import pytest
 from csm_tpu.codec import MimiCodec, MimiCodecConfig, mimi_params_from_state_dict
 
 
-@pytest.fixture(scope="module")
-def mimi_pair():
+def make_mimi_pair(cfg):
+    """Tiny random-weight HF ``MimiModel`` + converted JAX params for ``cfg``
+    (shared by the parity tests here and the end-to-end recipe test)."""
     import torch
     from transformers import MimiConfig, MimiModel
 
-    cfg = MimiCodecConfig.tiny()
     hf_cfg = MimiConfig(
         num_quantizers=cfg.num_quantizers,
         codebook_size=cfg.codebook_size,
@@ -46,6 +46,11 @@ def mimi_pair():
 
     params = mimi_params_from_state_dict(model.state_dict(), cfg)
     return cfg, model, params
+
+
+@pytest.fixture(scope="module")
+def mimi_pair():
+    return make_mimi_pair(MimiCodecConfig.tiny())
 
 
 def _wave(n, seed=0, batch=1):
