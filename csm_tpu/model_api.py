@@ -40,6 +40,7 @@ class CSMModel:
             params = csm.init_params(jax.random.key(seed), config, dtype)
         self.params = params
         self._using_kv_cache = False
+        self._qdec = self._qbb = self._qsb = None
         self._fwd = jax.jit(
             lambda p, ids, mask, labels, k: csm.forward(
                 p, config, ids, mask, labels=labels, max_decoder_frames=k
@@ -91,17 +92,39 @@ class CSMModel:
             temperature=temperature, topk=topk, rng=rng, greedy=greedy,
         )
 
+    def quantize(self) -> "CSMModel":
+        """Prepare the opt-in int8 fast paths once (fused decoder kernel,
+        W8A8 backbone, streamed-weight backbone kernel — see
+        ``docs/ARCHITECTURE.md``); subsequent :meth:`generate` calls use
+        them automatically.  Single-chip TPU paths: call only when the
+        default backend is a TPU and generation runs un-meshed.  Returns
+        ``self`` for chaining."""
+        from csm_tpu.ops.bb_kernel import prepare_streamed_backbone
+        from csm_tpu.ops.fused_decoder import prepare_fused_decoder
+        from csm_tpu.ops.quant import prepare_quantized_backbone
+
+        cfg = self.config
+        self._qdec = jax.jit(lambda p: prepare_fused_decoder(p, cfg))(self.params)
+        self._qbb = jax.jit(lambda p: prepare_quantized_backbone(p, cfg))(self.params)
+        self._qsb = jax.jit(lambda p: prepare_streamed_backbone(p, cfg))(self.params)
+        return self
+
     def generate(self, input_ids, attention_mask, max_new_frames: int = 100,
                  temperature: float = 1.0, topk: int = 50, use_cache: bool = True,
                  stop_on_all_zeros: bool = True, rng: Optional[jax.Array] = None,
                  greedy: bool = False, stop_mode: str = "batch") -> np.ndarray:
         from csm_tpu import generation
 
+        B = np.asarray(input_ids).shape[0]
+        small = B <= 8  # the kernels batch up to one f32 sublane tile
         return generation.generate(
             self.params, self.config, input_ids, attention_mask,
             max_new_frames=max_new_frames, temperature=temperature, topk=topk,
             use_cache=use_cache, stop_on_all_zeros=stop_on_all_zeros,
             rng=rng, greedy=greedy, stop_mode=stop_mode,
+            qdec=self._qdec if small else None,
+            qbb=self._qbb,
+            qsb=self._qsb if small else None,
         )
 
     # -- persistence --------------------------------------------------------

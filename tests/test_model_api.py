@@ -90,3 +90,30 @@ def test_forward_label_free_hits_jit_cache():
         model.forward(ids, mask)
         model.forward(ids, mask)
     assert model._fwd_nolabels._cache_size() == 1
+
+
+def test_quantized_generate_surface():
+    """model.quantize() enables the int8 fast paths through the class API
+    (interpret mode on CPU): generation runs, stays deterministic, and
+    emits in-range frames."""
+    import jax
+
+    from csm_tpu.config import CSMConfig
+    from csm_tpu.model_api import CSMModel
+
+    cfg = CSMConfig.tiny()
+    model = CSMModel(cfg, seed=0).quantize()
+    rng = np.random.default_rng(4)
+    ids = np.zeros((1, 6, cfg.frame_width), np.int32)
+    ids[..., -1] = rng.integers(1, cfg.text_vocab_size, (1, 6))
+    mask = np.zeros((1, 6, cfg.frame_width), np.float32)
+    mask[..., -1] = 1.0
+
+    out = [
+        model.generate(ids, mask, max_new_frames=2, greedy=True,
+                       stop_on_all_zeros=False, rng=jax.random.key(1))
+        for _ in range(2)
+    ]
+    assert out[0].shape == (1, 2, cfg.audio_num_codebooks)
+    assert out[0].min() >= 0 and out[0].max() < cfg.audio_vocab_size
+    np.testing.assert_array_equal(out[0], out[1])
