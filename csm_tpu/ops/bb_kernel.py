@@ -51,6 +51,7 @@ between jitted and eager programs).
 
 from __future__ import annotations
 
+import os
 import functools
 from typing import Tuple
 
@@ -626,11 +627,19 @@ def bb_decode_step(
     Wp = W + 8  # row W = new token; rows W+1.. masked padding
     C = B * nkv
 
-    # Ring depth: 3 when VMEM allows (two rings + two KV window buffers).
+    # Ring depth: deepest that fits VMEM (two rings + two KV window
+    # buffers).  Measured at 1B/B=1: depth 4 = 1.355 ms/step vs 3 = 1.394.
     dims = _dims(config)
     ring_bytes = D * dims["a_cols"] + dims["chunk_dn"] * D
     kv_bytes = 2 * 2 * Wp * C * hd * 2
-    depth = 3 if (3 * ring_bytes + kv_bytes) < 100 * 1024 * 1024 else 2
+    depth = 2
+    for d in (4, 3):
+        if d * ring_bytes + kv_bytes < 100 * 1024 * 1024:
+            depth = d
+            break
+    env_depth = os.environ.get("CSM_BB_RING_DEPTH")
+    if env_depth:  # perf experimentation knob (see scripts/check_bb_hw.py)
+        depth = int(env_depth)
 
     # Pre-pad the bias to the full window: row W (the token's own new K/V)
     # is always attendable, padding rows beyond are masked — done here so
