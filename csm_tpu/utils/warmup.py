@@ -40,6 +40,7 @@ def warmup_generation(
     frame_budgets: Sequence[int] = (64,),
     qdec: Optional[dict] = None,
     qbb: Optional[dict] = None,
+    qsb: Optional[dict] = None,
     temperature: float = 1.0,
     topk: int = 50,
     greedy: bool = False,
@@ -62,7 +63,7 @@ def warmup_generation(
                     params, config, ids, mask, jnp.int32(S), jax.random.key(0),
                     max_new_frames=frames, temperature=temperature, topk=topk,
                     greedy=greedy, stop_on_all_zeros=stop_on_all_zeros,
-                    stop_mode=stop_mode, qdec=qdec, qbb=qbb,
+                    stop_mode=stop_mode, qdec=qdec, qbb=qbb, qsb=qsb,
                 ).compile()
                 logger.info(
                     "warmed generate B=%d S=%d frames=%d in %.1fs",
