@@ -299,8 +299,13 @@ def forward_decode_streamed(
         jnp.broadcast_to(start.reshape(()), (B,)) if start.ndim == 0 else start
     )
     rope = compute_rope_table(config.backbone, config.max_seq_len)
-    cos = jnp.take(rope[0], starts, axis=0)  # [B, hd]
-    sin = jnp.take(rope[1], starts, axis=0)
+    # mode="clip": a finished/idle serving slot keeps stepping past the
+    # table ("garbage steps"); the default OOB fill is NaN, and a single
+    # NaN K-row would spread through the kernel's merged window into EVERY
+    # stream's attention (0·NaN).  Clipped positions yield finite garbage
+    # that stays confined to the dead slot's own block.
+    cos = jnp.take(rope[0], starts, axis=0, mode="clip")  # [B, hd]
+    sin = jnp.take(rope[1], starts, axis=0, mode="clip")
     bias_w = jnp.where(cache.valid, 0.0, llama.NEG_INF).astype(jnp.float32)
 
     nh, c0_logits, nk, nv = bb_decode_step(
@@ -310,7 +315,13 @@ def forward_decode_streamed(
 
     nk = nk[:, :, None].astype(cache.k.dtype)  # [L, B, 1, nkv, hd]
     nv = nv[:, :, None].astype(cache.v.dtype)
-    one = jnp.ones((B, 1), jnp.bool_)
+    # XLA-path validity contract (backbone_forward): a frame whose 33-wide
+    # attention mask is all-zero is recorded INVALID so later steps never
+    # attend its K/V.
+    if attention_mask is not None:
+        one = (attention_mask.sum(axis=2) > 0).reshape(B, 1)
+    else:
+        one = jnp.ones((B, 1), jnp.bool_)
     if start.ndim == 0:
         k = jax.lax.dynamic_update_slice(cache.k, nk, (0, 0, start, 0, 0))
         v = jax.lax.dynamic_update_slice(cache.v, nv, (0, 0, start, 0, 0))

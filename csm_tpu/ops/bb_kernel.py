@@ -190,14 +190,6 @@ def _perm_head_of_lane(n_lanes: int, H: int, hd: int, rows: int) -> jnp.ndarray:
     return jnp.where(c < half_tot, c // (hd // 2), (c - half_tot) // (hd // 2))
 
 
-def _perm_dim_of_lane(n_lanes: int, H: int, hd: int, rows: int) -> jnp.ndarray:
-    """[rows, n_lanes] int32: which head-dim each PERMUTED-layout lane is."""
-    half = hd // 2
-    half_tot = H * half
-    c = _iota2((rows, n_lanes), 1)
-    return jnp.where(c < half_tot, c % half, half + (c - half_tot) % half)
-
-
 def _rows_from_flat(
     x_perm: jnp.ndarray, B: int, H: int, hd: int
 ) -> jnp.ndarray:
@@ -638,7 +630,10 @@ def bb_decode_step(
             depth = d
             break
     env_depth = os.environ.get("CSM_BB_RING_DEPTH")
-    if env_depth:  # perf experimentation knob (see scripts/check_bb_hw.py)
+    if env_depth:
+        # Perf experimentation knob (scripts/check_bb_hw.py).  Read at
+        # TRACE time: set it before the first call in a fresh process —
+        # changing it later is ignored by jit-cached programs.
         depth = int(env_depth)
 
     # Pre-pad the bias to the full window: row W (the token's own new K/V)

@@ -551,9 +551,12 @@ def fused_decode_codebooks(
     gumbel = jnp.pad(
         gumbel.astype(jnp.float32), ((0, 0), (0, 0), (0, Va_pad - Va))
     )
-    c0_logits = jnp.pad(
-        c0_logits.astype(jnp.float32), ((0, 0), (0, Va_pad - Va))
-    )
+    # bf16-round first: the 16-step bisection resolves exactly the top 16
+    # bits, so the top-k cutoff is exact only on bf16-rounded logits (the
+    # bf16 paths' head emits them rounded already; f32 params get the same
+    # documented rounding here).  Idempotent for already-rounded inputs.
+    c0_logits = c0_logits.astype(jnp.bfloat16).astype(jnp.float32)
+    c0_logits = jnp.pad(c0_logits, ((0, 0), (0, Va_pad - Va)))
 
     kernel = _make_kernel(config, topk, greedy, head_dtype, B)
 
@@ -641,9 +644,12 @@ def emulate_decode_codebooks(
     gumbel = jnp.pad(
         gumbel.astype(jnp.float32), ((0, 0), (0, 0), (0, Va_pad - Va))
     )
-    c0_logits = jnp.pad(
-        c0_logits.astype(jnp.float32), ((0, 0), (0, Va_pad - Va))
-    )
+    # bf16-round first: the 16-step bisection resolves exactly the top 16
+    # bits, so the top-k cutoff is exact only on bf16-rounded logits (the
+    # bf16 paths' head emits them rounded already; f32 params get the same
+    # documented rounding here).  Idempotent for already-rounded inputs.
+    c0_logits = c0_logits.astype(jnp.bfloat16).astype(jnp.float32)
+    c0_logits = jnp.pad(c0_logits, ((0, 0), (0, Va_pad - Va)))
     vcol = jnp.arange(Va_pad)[None, :]
 
     kv_k = jnp.zeros((L, nkv, P, hd), jnp.float32)

@@ -20,16 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _bench_lib import setup_cache, timed
 
-def timed(fn, reps=5, warmup=2):
-    for _ in range(warmup):
-        fn()
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return min(ts) * 1e3
+
 
 
 def main():
@@ -42,9 +35,7 @@ def main():
                     "kernel (qsb) instead of the W8A8 XLA path")
     args = ap.parse_args()
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_csm")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    setup_cache(jax)
 
     from csm_tpu.config import CSMConfig
     from csm_tpu.models import csm
@@ -105,6 +96,7 @@ def main():
     c0_logits0 = jnp.zeros((B, config.audio_vocab_size), jnp.float32)
 
     def scan_dec(p, qb, qd, qs, init, n):
+        del init  # carry is built from the closed-over zeros below
         def body(carry, k):
             lh, lg = carry
             s = decode_frame(p, config, lh, lg, k, 1.0, 50, False, qdec=qd)
@@ -115,7 +107,7 @@ def main():
         (_, _), ss = jax.lax.scan(body, (last_h0, c0_logits0), keys)
         return ss.sum()
 
-    t_dec = measure(scan_dec, (last_h0, c0_logits0)[0], N_IT, "fused decoder kernel")
+    t_dec = measure(scan_dec, None, N_IT, "fused decoder kernel")
 
     # C. whole frame step (bb + c0 sample + decoder + next inputs)
     from csm_tpu.generation import generate_frame, _next_frame_inputs

@@ -15,22 +15,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _bench_lib import setup_cache, timed
 
-def timed(fn, reps=5, warmup=2):
-    for _ in range(warmup):
-        fn()
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return min(ts) * 1e3
+
 
 
 def main():
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_csm")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    setup_cache(jax)
 
     from csm_tpu.config import CSMConfig
     from csm_tpu.models import csm

@@ -137,3 +137,43 @@ def test_generation_with_streamed_backbone(setup):
     np.testing.assert_array_equal(out[0], out[1])
     assert out[0].shape == (B, 3, cfg.audio_num_codebooks)
     assert (out[0] >= 0).all() and (out[0] < cfg.audio_vocab_size).all()
+
+
+def test_streamed_decode_masked_and_overflow_slots(setup):
+    """Review regressions: (1) an all-masked S=1 frame is recorded INVALID
+    in the cache (the XLA path's validity contract); (2) a slot whose
+    position ran past the RoPE table (a finished serving slot stepping on
+    garbage) yields FINITE outputs — the OOB take must clip, not NaN-fill,
+    because one NaN K-row would spread through the merged window into every
+    stream's attention."""
+    cfg, params, qsb = setup
+    from csm_tpu.models.llama import KVCache
+
+    B, W = 2, 16
+    rng = np.random.default_rng(3)
+    cache = KVCache.create(cfg.backbone, B, W, dtype=jnp.bfloat16)
+    cache = cache.replace(
+        k=jnp.asarray(rng.standard_normal(cache.k.shape), jnp.bfloat16),
+        v=jnp.asarray(rng.standard_normal(cache.v.shape), jnp.bfloat16),
+        valid=cache.valid.at[:, :3].set(True),
+        index=jnp.asarray([3, cfg.max_seq_len + 5], jnp.int32),
+    )
+    ids = np.zeros((B, 1, cfg.frame_width), np.int32)
+    ids[..., :-1] = rng.integers(1, cfg.audio_vocab_size, (B, 1, 32))
+    mask = np.zeros((B, 1, cfg.frame_width), np.float32)
+    mask[1, ..., :-1] = 1.0  # row 0: fully masked frame; row 1: audio frame
+
+    out = jax.jit(
+        lambda p, q, i, m, c: csm.forward(p, cfg, i, m, cache=c, qsb=q)
+    )(params, qsb, jnp.asarray(ids), jnp.asarray(mask), cache)
+
+    # (1) row 0's written slot is invalid, matching the XLA path.
+    ref = jax.jit(
+        lambda p, i, m, c: csm.forward(p, cfg, i, m, cache=c)
+    )(params, jnp.asarray(ids), jnp.asarray(mask),
+      cache.replace(index=jnp.asarray([3, W - 1], jnp.int32)))
+    assert not bool(out.cache.valid[0, 3])
+    assert not bool(ref.cache.valid[0, 3])
+    # (2) finite everywhere despite row 1's out-of-table position.
+    assert np.isfinite(np.asarray(out.logits)).all()
+    assert np.isfinite(np.asarray(out.last_hidden_state, np.float32)).all()
