@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--stream", action="store_true",
                     help="emit audio incrementally via the serving streamer")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--quantize", action="store_true",
+                    help="enable the int8 fast paths (fused decoder + "
+                    "streamed backbone kernels; ~3x faster on a v5e)")
     args = ap.parse_args()
 
     import jax
@@ -52,6 +55,9 @@ def main():
     model = CSMModel.from_pretrained(
         args.model, dtype=jnp.bfloat16 if args.bf16 else jnp.float32
     )
+    if args.quantize:
+        print("quantizing fast paths (one-time)...")
+        model.quantize()
     processor = CSMProcessor(tokenizer, mimi)
 
     role = f"speaker_{args.speaker}"
