@@ -29,15 +29,19 @@ Public surface (mirrors the reference's API at
   orbax save/load.
 - :mod:`csm_tpu.serving` — frame streamer + continuous-batching
   :class:`CSMServer` (mid-flight admission, per-stream RNG).
-- :mod:`csm_tpu.ops.fused_decoder` / :mod:`csm_tpu.ops.quant` — the
-  VMEM-resident int8 intra-frame decoder kernel and the W8A16 int8
-  backbone path (``prepare_fused_decoder`` / ``prepare_quantized_backbone``
-  bundles passed to ``generate``/``CSMServer`` as ``qdec=``/``qbb=``).
+- :mod:`csm_tpu.ops.fused_decoder` / :mod:`csm_tpu.ops.quant` /
+  :mod:`csm_tpu.ops.bb_kernel` — the VMEM-resident int8 intra-frame
+  decoder kernel (whole-frame sampling in one Pallas call), the W8A8 int8
+  XLA backbone path, and the streamed-weight backbone decode kernel
+  (``prepare_fused_decoder`` / ``prepare_quantized_backbone`` /
+  ``prepare_streamed_backbone`` bundles passed to ``generate``/
+  ``CSMServer`` as ``qdec=``/``qbb=``/``qsb=``; or just
+  ``CSMModel.quantize()``).
 """
 
 from csm_tpu.config import CSMConfig, LlamaConfig
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "CSMConfig", "LlamaConfig", "CSMModel", "CSMServer", "CSMStreamer",
