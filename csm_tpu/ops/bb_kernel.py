@@ -64,7 +64,10 @@ from jax.experimental.pallas import tpu as pltpu
 from csm_tpu.config import CSMConfig
 from csm_tpu.ops.fused_decoder import NEG_INF, _rms_scale, quantize_per_channel
 
-CHUNK_N = 4096  # ring-A chunk columns / ring-B chunk rows (int8, 8.4 MB)
+# Ring-A chunk columns / ring-B chunk rows (int8; 4.2 MB at 2048).  Finer
+# chunks pipeline better: measured 1B/B=1 ms/step — 4096: 1.355, 2048:
+# 1.324, 1024: 1.323 (plateau).  Trace-time knob like CSM_BB_RING_DEPTH.
+CHUNK_N = int(os.environ.get("CSM_BB_CHUNK_N", "2048"))
 
 
 # ---------------------------------------------------------------------------
