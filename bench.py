@@ -120,7 +120,7 @@ def main():
             max_new_frames=max_new_frames, temperature=1.0, topk=50,
             greedy=False, stop_on_all_zeros=False, stop_mode="stream",
             qdec=q, qbb=qbb if q is not None else None,
-            qsb=qsb if (q is not None and batch == 1) else None,
+            qsb=qsb if (q is not None and batch <= 8) else None,
         )
         np.asarray(frames)  # true sync barrier
         return int(np.asarray(n).sum())
