@@ -623,7 +623,9 @@ def bb_decode_step(
     C = B * nkv
 
     # Ring depth: deepest that fits VMEM (two rings + two KV window
-    # buffers).  Measured at 1B/B=1: depth 4 = 1.355 ms/step vs 3 = 1.394.
+    # buffers), capped at 4 — measured at 1B/B=1: depth 3 = 1.394 ms/step,
+    # 4 = 1.324 (with 2048-col chunks), 6 = 1.367 (deeper is WORSE: more
+    # outstanding DMAs contend).
     dims = _dims(config)
     ring_bytes = D * dims["a_cols"] + dims["chunk_dn"] * D
     kv_bytes = 2 * 2 * Wp * C * hd * 2
