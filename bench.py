@@ -5,20 +5,37 @@ Baseline (BASELINE.md): the reference's only published figure is ~130 ms of
 compute per 80 ms frame on an unspecified GPU — RTF 1.6, i.e. ≈7.69 frames/s
 (`/root/reference/ARCHITECTURE.md:185`).
 
-Prints one JSON line per metric (all captured by the driver):
+Prints one JSON line per metric (all captured by the driver).  Throughput /
+latency values are the MEDIAN over ``--reps`` runs (default 5) and each line
+carries ``reps`` + ``spread_pct`` ((max−min)/median) so the statistics are
+auditable:
 
 1. ``csm1b_frames_per_sec_single_stream`` — the north-star number
    (BASELINE.md: ≥125 target).  Uses the fused VMEM-resident int8 decoder
    kernel (:mod:`csm_tpu.ops.fused_decoder`) plus the streamed-weight
    backbone kernel (:mod:`csm_tpu.ops.bb_kernel`).
 2. ``csm1b_frames_per_sec_batch8_aggregate`` — 8 concurrent streams
-   through the batched fused decoder kernel + W8A8 int8 backbone,
+   through the batched fused decoder kernel + W8A16 int8 backbone,
    aggregate frames/s.
 3. ``csm1b_first_frame_latency_ms`` — p50 prefill(64 frames)+first-frame
    latency; ``vs_baseline`` is the reference's 130 ms over ours.
+4. ``csm1b_quant_greedy_token_agreement_pct`` — the quantization-fidelity
+   artifact: greedy token agreement between the pure-XLA bf16 path and the
+   quantized streamed path over the same ``--frames``-frame utterance
+   (same prompt/seed), plus the first diverging frame.  This quantifies
+   the numerics asterisk on the kernel speedups.
+5. ``csm1b_decode_hbm_bw_util_pct`` — decode-step HBM bandwidth
+   utilization: bytes the per-frame step must move (int8 weight bundles +
+   KV window) over measured frame time, against v5e's 819 GB/s peak.
+6. ``csm1b_prefill_mfu_pct`` — prefill MFU (first-frame latency minus one
+   decode frame, against 197 bf16 TFLOP/s).
+7. ``csm1b_train_step_s2048_ms`` / ``csm1b_train_mfu_pct`` — full-context
+   (2048-frame) CSM-1B train step on the chip (flash-attention VJP +
+   remat) and its model FLOPs utilization.
 
 Flags: ``--frames N`` (default 125), ``--prompt-frames N`` (default 64),
-``--tiny`` (debug), ``--skip-batch``, ``--skip-first-frame``,
+``--reps N`` (default 5), ``--tiny`` (debug), ``--skip-batch``,
+``--skip-first-frame``, ``--skip-agreement``, ``--skip-train``,
 ``--impl streamed|fused|xla`` (single-stream decode implementation).
 """
 
@@ -31,15 +48,20 @@ import time
 
 BASELINE_MS_PER_FRAME = 130.0  # reference: ~130 ms/frame (BASELINE.md)
 BASELINE_FPS = 1000.0 / BASELINE_MS_PER_FRAME
+V5E_HBM_GBPS = 819.0  # peak HBM bandwidth, v5e
+V5E_BF16_TFLOPS = 197.0  # peak bf16 MXU throughput, v5e
 
 
-def _emit(metric, value, unit, vs_baseline):
-    print(json.dumps({
+def _emit(metric, value, unit, vs_baseline, **extra):
+    line = {
         "metric": metric,
         "value": round(float(value), 2),
         "unit": unit,
         "vs_baseline": round(float(vs_baseline), 2),
-    }))
+    }
+    for k, v in extra.items():
+        line[k] = round(float(v), 2) if isinstance(v, float) else v
+    print(json.dumps(line))
 
 
 def main():
@@ -49,15 +71,18 @@ def main():
     # and dispatch over too few frames.
     ap.add_argument("--frames", type=int, default=125)
     ap.add_argument("--prompt-frames", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip-batch", action="store_true")
     ap.add_argument("--skip-first-frame", action="store_true")
+    ap.add_argument("--skip-agreement", action="store_true")
+    ap.add_argument("--skip-train", action="store_true")
     ap.add_argument(
         "--impl", choices=("fused", "xla", "streamed"), default="streamed",
         help="single-stream decode path: 'streamed' (default) = fused "
         "decoder kernel + streamed-weight backbone kernel "
-        "(csm_tpu.ops.bb_kernel); 'fused' = fused decoder kernel + W8A8 "
+        "(csm_tpu.ops.bb_kernel); 'fused' = fused decoder kernel + W8A16 "
         "XLA backbone; 'xla' = pure XLA bf16",
     )
     args = ap.parse_args()
@@ -89,10 +114,12 @@ def main():
     # NOTE: materialize via np.asarray — on this backend block_until_ready
     # does not actually synchronize; only a host transfer is a true barrier.
     np.asarray(params["projection"])
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
 
     qdec = qbb = qsb = None
+    on_tpu = not args.tiny and jax.default_backend() != "cpu"
     # Fused kernels: real-config TPU runs only (tiny debug shapes don't tile).
-    if args.impl != "xla" and not args.tiny and jax.default_backend() != "cpu":
+    if args.impl != "xla" and on_tpu:
         from csm_tpu.ops.fused_decoder import prepare_fused_decoder
         from csm_tpu.ops.quant import prepare_quantized_backbone
 
@@ -113,47 +140,55 @@ def main():
         mask[..., -1] = 1.0
         return jnp.asarray(ids), jnp.asarray(mask)
 
-    def run(batch, max_new_frames, q, key):
+    def run(batch, max_new_frames, q, key, greedy=False, force_xla=False):
         ids, mask = prompt(batch)
         frames, n = generate_compiled(
             params, config, ids, mask, jnp.int32(S), key,
             max_new_frames=max_new_frames, temperature=1.0, topk=50,
-            greedy=False, stop_on_all_zeros=False, stop_mode="stream",
-            qdec=q, qbb=qbb if q is not None else None,
-            qsb=qsb if (q is not None and batch <= 8) else None,
+            greedy=greedy, stop_on_all_zeros=False, stop_mode="stream",
+            qdec=None if force_xla else q,
+            qbb=qbb if (q is not None and not force_xla) else None,
+            qsb=qsb if (q is not None and batch <= 8 and not force_xla) else None,
         )
-        np.asarray(frames)  # true sync barrier
-        return int(np.asarray(n).sum())
+        return frames, int(np.asarray(n).sum())  # np.asarray = sync barrier
 
-    def timed(batch, max_new_frames, q, reps=3):
+    def timed(batch, max_new_frames, q, reps):
         t0 = time.time()
-        total = run(batch, max_new_frames, q, jax.random.key(1))
+        _, total = run(batch, max_new_frames, q, jax.random.key(1))
         print(f"  compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
         times = []
         for i in range(reps):
             t0 = time.time()
-            total = run(batch, max_new_frames, q, jax.random.key(2 + i))
+            _, total = run(batch, max_new_frames, q, jax.random.key(2 + i))
             times.append(time.time() - t0)
-        return total, times
+        med = sorted(times)[len(times) // 2]
+        spread = 100.0 * (max(times) - min(times)) / med
+        return total, med, spread
 
     # 1. single stream (fused kernel when available)
     print(f"single-stream ({args.impl})...", file=sys.stderr)
-    total, times = timed(1, args.frames, qdec)
-    fps = total / min(times)
-    _emit("csm1b_frames_per_sec_single_stream", fps, "frames/s", fps / BASELINE_FPS)
+    total, med, spread = timed(1, args.frames, qdec, args.reps)
+    fps = total / med
+    frame_ms = 1000.0 * med / max(total, 1)
+    _emit("csm1b_frames_per_sec_single_stream", fps, "frames/s",
+          fps / BASELINE_FPS, reps=args.reps, spread_pct=spread)
 
     # 2. batched serving aggregate (fused kernel batches rows through the
     # same latency-bound serial matvecs — near-free aggregate scaling)
     if not args.skip_batch and args.batch > 1:
         print(f"batch-{args.batch} aggregate...", file=sys.stderr)
-        total, times = timed(args.batch, args.frames, qdec if args.batch <= 8 else None)
-        bfps = total / min(times)
+        total, med, spread = timed(
+            args.batch, args.frames, qdec if args.batch <= 8 else None, args.reps
+        )
+        bfps = total / med
         _emit(
             f"csm1b_frames_per_sec_batch{args.batch}_aggregate",
             bfps, "frames/s", bfps / BASELINE_FPS,
+            reps=args.reps, spread_pct=spread,
         )
 
     # 3. p50 first-frame latency (prefill + one frame)
+    p50 = None
     if not args.skip_first_frame:
         print("first-frame latency...", file=sys.stderr)
         run(1, 1, qdec, jax.random.key(1))  # compile
@@ -165,8 +200,107 @@ def main():
         p50 = sorted(lat)[len(lat) // 2]
         _emit(
             "csm1b_first_frame_latency_ms", p50, "ms",
-            BASELINE_MS_PER_FRAME / p50,
+            BASELINE_MS_PER_FRAME / p50, reps=7,
+            spread_pct=100.0 * (max(lat) - min(lat)) / p50,
         )
+
+    # 4. quantization fidelity: greedy token agreement, quantized vs bf16 XLA
+    # (the parity contract around /root/reference/modeling_csm.py:555-576 is
+    # held exactly by the XLA path; this measures what the kernels change).
+    if not args.skip_agreement and qdec is not None:
+        print("quant-fidelity agreement (greedy, quant vs xla)...", file=sys.stderr)
+        fq, _ = run(1, args.frames, qdec, jax.random.key(42), greedy=True)
+        fx, _ = run(1, args.frames, qdec, jax.random.key(42), greedy=True,
+                    force_xla=True)
+        fq, fx = np.asarray(fq)[0], np.asarray(fx)[0]  # [F, 32]
+        tok_agree = 100.0 * float((fq == fx).mean())
+        frame_agree = (fq == fx).all(axis=1)
+        div = np.nonzero(~frame_agree)[0]
+        first_div = int(div[0]) if div.size else -1
+        _emit(
+            "csm1b_quant_greedy_token_agreement_pct", tok_agree, "%",
+            tok_agree / 100.0, frames=int(fq.shape[0]),
+            first_divergence_frame=first_div,
+        )
+
+    # 5. decode-step HBM bandwidth utilization: every frame must re-stream
+    # the weight bundles and read the KV window — divide by measured frame
+    # time and the chip's peak.
+    if on_tpu and qsb is not None:
+        bundles = [qsb, qdec] if qdec is not None else [qsb]
+        wbytes = sum(x.nbytes for b in bundles for x in jax.tree.leaves(b))
+        cache_len = ((min(config.max_seq_len, S + args.frames) + 127) // 128) * 128
+        L = config.backbone.num_hidden_layers
+        kvbytes = 2 * L * cache_len * config.backbone.num_key_value_heads * \
+            config.backbone.head_dim * 2  # bf16 k+v
+        bw = (wbytes + kvbytes) / (frame_ms / 1000.0) / 1e9
+        _emit(
+            "csm1b_decode_hbm_bw_util_pct", 100.0 * bw / V5E_HBM_GBPS, "%",
+            bw / V5E_HBM_GBPS, gb_per_s=bw, frame_ms=frame_ms,
+        )
+
+    # 6. prefill MFU: first-frame latency minus one decode frame ≈ prefill
+    # time; model FLOPs = 2·N·S matmuls + causal attention.
+    if on_tpu and p50 is not None:
+        t_prefill = max(p50 - frame_ms, 1e-3) / 1000.0
+        bb = config.backbone
+        attn_fwd = 2 * 2 * S * S * bb.num_attention_heads * bb.head_dim * \
+            bb.num_hidden_layers / 2  # causal half-square, qk + pv
+        flops = 2.0 * n_params * S + attn_fwd
+        mfu = 100.0 * flops / t_prefill / (V5E_BF16_TFLOPS * 1e12)
+        _emit("csm1b_prefill_mfu_pct", mfu, "%", mfu / 100.0,
+              prefill_ms=t_prefill * 1000.0)
+
+    # 7. full-context train step (flash VJP + remat, S=2048)
+    if not args.skip_train and on_tpu:
+        print("train step S=2048 (flash VJP + remat)...", file=sys.stderr)
+        from csm_tpu.train.loop import TrainState, make_optimizer, make_train_step
+
+        St = 2048
+        opt = make_optimizer(5e-6, total_steps=100)
+        step_fn = jax.jit(
+            make_train_step(config, opt, St // 16 + 1, remat=True),
+            donate_argnums=(0,),
+        )
+        tr = np.random.default_rng(1)
+        ids = np.zeros((1, 1, St, 33), np.int32)
+        mask = np.zeros((1, 1, St, 33), np.float32)
+        labels = np.full((1, 1, St, 33), -100, np.int32)
+        ids[..., :64, 32] = tr.integers(1, config.text_vocab_size, (1, 1, 64))
+        mask[..., :64, 32] = 1
+        ids[..., 64:, :32] = tr.integers(1, config.audio_vocab_size,
+                                         (1, 1, St - 64, 32))
+        mask[..., 64:, :32] = 1
+        labels[..., 64:, 0] = ids[..., 64:, 0]
+        for a in tr.choice(St - 64, size=(St - 64) // 16, replace=False):
+            labels[..., 64 + a, :32] = ids[..., 64 + a, :32]
+        batch = {"input_ids": jnp.asarray(ids),
+                 "attention_mask": jnp.asarray(mask),
+                 "labels": jnp.asarray(labels)}
+        state = TrainState(params=params, opt_state=jax.jit(opt.init)(params),
+                           step=jnp.int32(0))
+        t0 = time.time()
+        state, m = step_fn(state, None, batch)
+        float(m["loss"])
+        print(f"  compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            state, m = step_fn(state, None, batch)
+            float(m["loss"])  # host transfer = sync
+            ts.append(time.time() - t0)
+        med_t = sorted(ts)[len(ts) // 2]
+        _emit("csm1b_train_step_s2048_ms", med_t * 1000.0, "ms",
+              BASELINE_MS_PER_FRAME / (med_t * 1000.0 / St),
+              reps=args.reps,
+              spread_pct=100.0 * (max(ts) - min(ts)) / med_t)
+        # fwd 2NT + bwd 4NT + remat re-fwd 2NT = 8NT matmul FLOPs, plus
+        # causal attention (half-square qk+pv) fwd + bwd + recompute ≈ 4×.
+        bb = config.backbone
+        attn = 4 * (2 * 2 * St * St * bb.num_attention_heads * bb.head_dim *
+                    bb.num_hidden_layers / 2)
+        mfu = 100.0 * (8.0 * n_params * St + attn) / med_t / (V5E_BF16_TFLOPS * 1e12)
+        _emit("csm1b_train_mfu_pct", mfu, "%", mfu / 100.0)
 
 
 if __name__ == "__main__":

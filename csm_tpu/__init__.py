@@ -31,7 +31,7 @@ Public surface (mirrors the reference's API at
   :class:`CSMServer` (mid-flight admission, per-stream RNG).
 - :mod:`csm_tpu.ops.fused_decoder` / :mod:`csm_tpu.ops.quant` /
   :mod:`csm_tpu.ops.bb_kernel` — the VMEM-resident int8 intra-frame
-  decoder kernel (whole-frame sampling in one Pallas call), the W8A8 int8
+  decoder kernel (whole-frame sampling in one Pallas call), the W8A16 int8
   XLA backbone path, and the streamed-weight backbone decode kernel
   (``prepare_fused_decoder`` / ``prepare_quantized_backbone`` /
   ``prepare_streamed_backbone`` bundles passed to ``generate``/

@@ -107,7 +107,7 @@ def decode_frame(
 
     ``qdec``: a bundle from
     :func:`csm_tpu.ops.fused_decoder.prepare_fused_decoder` switches the
-    whole loop to the VMEM-resident int8 Pallas kernel (B == 1 only; ~3×
+    whole loop to the VMEM-resident int8 Pallas kernel (B ≤ 8; ~3×
     faster on a v5e chip, quantized numerics — see that module's docs).
     """
     B = last_h.shape[0]
@@ -322,7 +322,7 @@ def generate_compiled(
         step, done, n_frames, frames_buf, prev_frame, cache, rng = carry
         ids, mask = _next_frame_inputs(config, prev_frame)
         rng, k = _split_keys(rng)
-        # Per-frame decode steps may use the W8A8 backbone (the prefill above
+        # Per-frame decode steps may use the W8A16 backbone (the prefill above
         # stays bf16 — prompt conditioning keeps full precision).
         out = generate_frame(
             params, config, ids, mask,

@@ -64,7 +64,22 @@ class CSMModel:
         """No-op shim (``modeling_csm.py:289-290``)."""
 
     def forward(self, input_ids, attention_mask=None, labels=None,
-                max_decoder_frames: Optional[int] = None, **_ignored) -> CSMOutput:
+                max_decoder_frames: Optional[int] = None,
+                return_dict: Optional[bool] = None,
+                output_attentions=None, output_hidden_states=None,
+                **_ignored):
+        """Reference-compatible forward (``modeling_csm.py:292-482``).
+
+        ``return_dict=False`` returns the reference's tuple form
+        ``(loss?, last_hidden_state, logits)`` (``modeling_csm.py:467-473``;
+        the cache element is omitted — this wrapper's forward never carries
+        a cache, matching ``use_cache=False``).  ``output_attentions`` /
+        ``output_hidden_states`` are accepted and inert — behaviorally
+        identical to the reference, which forwards them into the HF
+        backbone and then discards the extra outputs (``CSMOutput`` has no
+        fields for them, ``modeling_csm.py:345-354, 475-482``).
+        """
+        del output_attentions, output_hidden_states  # reference-inert
         ids = jnp.asarray(input_ids)
         mask = (
             jnp.asarray(attention_mask, jnp.float32)
@@ -76,8 +91,15 @@ class CSMModel:
         if lbl is not None and k is None:
             k = int(ids.shape[0] * ids.shape[1])
         if lbl is None:
-            return self._fwd_nolabels(self.params, ids, mask)
-        return self._fwd(self.params, ids, mask, lbl, k)
+            out = self._fwd_nolabels(self.params, ids, mask)
+        else:
+            out = self._fwd(self.params, ids, mask, lbl, k)
+        if return_dict is False:
+            tup = (out.last_hidden_state, out.logits)
+            if out.loss is not None:
+                tup = (out.loss,) + tup
+            return tup
+        return out
 
     __call__ = forward
 
@@ -94,7 +116,7 @@ class CSMModel:
 
     def quantize(self) -> "CSMModel":
         """Prepare the opt-in int8 fast paths once (fused decoder kernel,
-        W8A8 backbone, streamed-weight backbone kernel — see
+        W8A16 backbone, streamed-weight backbone kernel — see
         ``docs/ARCHITECTURE.md``); subsequent :meth:`generate` calls use
         them automatically.  Single-chip TPU paths: call only when the
         default backend is a TPU and generation runs un-meshed.  Returns

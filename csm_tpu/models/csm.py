@@ -51,6 +51,11 @@ class CSMOutput:
     loss: Optional[jnp.ndarray] = None
     backbone_loss: Optional[jnp.ndarray] = None
     decoder_loss: Optional[jnp.ndarray] = None
+    # Non-ignored target counts behind each loss mean — lets callers
+    # aggregate token-weighted CE across ragged batches (HF Trainer eval
+    # semantics, ``/root/reference/train.py:303-326``).
+    backbone_targets: Optional[jnp.ndarray] = None
+    decoder_targets: Optional[jnp.ndarray] = None
 
 
 # ---------------------------------------------------------------------------
@@ -191,15 +196,19 @@ def backbone_forward(
     flash_prefill: bool = False,
     qbb: Optional[dict] = None,
     use_flash: bool = True,
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Embed-sum + backbone stack.  Returns full hidden ``[B, S, D]``.
 
-    ``qbb``: int8 backbone weights (:mod:`csm_tpu.ops.quant`) — the W8A8
+    ``qbb``: int8 backbone weights (:mod:`csm_tpu.ops.quant`) — the W8A16
     decode-step path (callers pass it for per-frame steps, not prefill).
 
-    ``use_flash=False`` forces the XLA attention path — REQUIRED under
-    ``jax.grad`` (the Pallas flash kernel defines no VJP); the train step
-    sets it.
+    ``use_flash=False`` forces the XLA attention path (the flash kernel is
+    differentiable via its Pallas backward since round 3; this switch
+    remains as an escape hatch / A-B lever).
+
+    ``remat``: rematerialize the layer scan under ``jax.grad``
+    (:func:`csm_tpu.models.llama.forward`); the train step sets it.
 
     Per-frame attention validity is the collapsed 33-token mask
     ``any(mask) > 0`` (``modeling_csm.py:337-342``).  Positions default to
@@ -232,7 +241,7 @@ def backbone_forward(
         hidden, _ = llama.forward(
             params["backbone"], config.backbone, h,
             rope_table=rope, positions=positions, attn_bias=bias, cache=None,
-            flash_key_valid=flash_valid, qlayers=qbb,
+            flash_key_valid=flash_valid, qlayers=qbb, remat=remat,
         )
         return hidden, None
 
@@ -361,6 +370,7 @@ def forward(
     qbb: Optional[dict] = None,
     qsb: Optional[dict] = None,
     use_flash: bool = True,
+    remat: bool = False,
 ) -> CSMOutput:
     """Full forward pass with optional training losses
     (``modeling_csm.py:292-482``).
@@ -380,6 +390,7 @@ def forward(
         qsb is not None
         and cache is not None
         and S == 1
+        and B <= 8  # the streamed kernel is validated for B <= 8 only
         and labels is None
         and not return_all_logits
         and positions is None
@@ -391,7 +402,7 @@ def forward(
     hidden, new_cache = backbone_forward(
         params, config, input_ids, attention_mask, cache=cache,
         positions=positions, flash_prefill=flash_prefill, qbb=qbb,
-        use_flash=use_flash,
+        use_flash=use_flash, remat=remat,
     )
 
     head = params["codebook0_head"]
@@ -402,6 +413,7 @@ def forward(
     c0_logits_last = last_h @ head
 
     loss = backbone_loss = decoder_loss = None
+    backbone_targets = decoder_targets = None
     c0_all = None
     if labels is not None or return_all_logits:
         c0_all = hidden @ head  # [B, S, Va]
@@ -410,7 +422,7 @@ def forward(
         # --- backbone (codebook-0) loss: shifted CE, fp32 -----------------
         shift_logits = c0_all[:, :-1, :].reshape(-1, config.audio_vocab_size)
         shift_labels = labels[:, 1:, 0].reshape(-1)
-        backbone_loss, _ = _masked_ce(shift_logits, shift_labels)
+        backbone_loss, backbone_targets = _masked_ce(shift_logits, shift_labels)
 
         # --- decoder (codebooks 1..N-1) loss ------------------------------
         if max_decoder_frames is None:
@@ -445,7 +457,7 @@ def forward(
 
         targets = frame_labels[:, 1:]  # [F, N-1]
         w = jnp.broadcast_to(weight[:, None], targets.shape)
-        decoder_loss, _ = _masked_ce(
+        decoder_loss, decoder_targets = _masked_ce(
             cb_logits.reshape(-1, config.audio_vocab_size),
             targets.reshape(-1),
             w.reshape(-1),
@@ -459,4 +471,6 @@ def forward(
         loss=loss,
         backbone_loss=backbone_loss,
         decoder_loss=decoder_loss,
+        backbone_targets=backbone_targets,
+        decoder_targets=decoder_targets,
     )

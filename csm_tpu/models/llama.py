@@ -296,6 +296,7 @@ def forward(
     cache: Optional[KVCache] = None,
     flash_key_valid: Optional[jnp.ndarray] = None,  # [B, T] — flash path
     qlayers: Optional[dict] = None,  # stacked int8 weights (ops.quant)
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the full stack via ``lax.scan`` over layers.
 
@@ -307,6 +308,11 @@ def forward(
     With ``flash_key_valid`` the layers use the Pallas flash kernel (valid
     only when queries start at absolute position 0, i.e. prefill/training);
     ``attn_bias`` may then be None.
+
+    ``remat=True`` wraps the scan body in ``jax.checkpoint`` (save-nothing
+    policy): under ``jax.grad`` each layer's activations are recomputed in
+    the backward instead of stored — O(L·S·D) residuals total instead of
+    every per-layer intermediate.  No effect on a pure forward pass.
     """
     cos_t, sin_t = rope_table
     cos = jnp.take(cos_t, positions, axis=0)  # [B, S, hd]
@@ -321,6 +327,9 @@ def forward(
                           flash_key_valid=flash_key_valid, qlayer=ql)
             return h, None
 
+        if remat:
+            # prevent_cse is safe (and needed for efficiency) inside scan.
+            body = jax.checkpoint(body, prevent_cse=False)
         h, _ = jax.lax.scan(body, inputs_embeds, (layer_params, qlayers))
         new_cache = None
     else:

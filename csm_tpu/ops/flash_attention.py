@@ -1,4 +1,5 @@
-"""Pallas TPU flash attention for the backbone prefill / training forward.
+"""Pallas TPU flash attention (forward + backward) for the backbone
+prefill / training paths.
 
 The naive attention path materializes fp32 scores ``[B, heads, S, T]`` —
 537 MB at the 2048-frame max context — and streams them through HBM twice.
@@ -21,6 +22,25 @@ triangle was tried and is ~4× slower: dynamic block indices defeat the
 pipeliner.)  For causal prefill this halves the work versus the full
 square; the running max / denominator / output accumulator live in VMEM
 scratch across the key blocks of each row (TPU grids execute sequentially).
+
+**Backward pass** (``jax.custom_vjp``): the FlashAttention-2 recompute
+scheme.  The forward additionally emits the per-row log-sum-exp; the
+backward recomputes each score block from (q, k) and the saved LSE —
+``p = exp(s − lse)`` — so the O(S²) probabilities are never stored.  Two
+kernels: ``dq`` accumulates over key blocks with the forward's causal
+skipping, and ``dk``/``dv`` accumulate over query blocks (skipping
+strictly-past query blocks).  ``delta = rowsum(dO ∘ O)`` is a cheap XLA
+reduction.  This makes attention memory O(S·D) in training too — the
+reference trains through torch SDPA's memory-efficient kernel
+(``/root/reference/modeling_csm.py:345-354``); this is the TPU equivalent.
+
+LSE layout note: Mosaic tiles the trailing two block dims and cannot
+shape-cast lanes into sublanes, so the kernels exchange LSE/delta as
+``[B, nkv, g*S, 128]`` — rows ordered to match the kernels' GQA fold
+(``row = i*g*bq + gi*bq + qi``), values replicated across the 128-lane
+minor axis (the layout JAX's own TPU flash kernel uses for ``l``/``m``).
+The saved residual is the lane-0 slice (compact, ``[B, nkv, g*S]``); the
+backward re-broadcasts it.
 """
 
 from __future__ import annotations
@@ -44,12 +64,32 @@ def _j_last(i, bq: int, bk: int, n_kb: int, causal: bool):
     return jnp.minimum(((i + 1) * bq - 1) // bk, n_kb - 1)
 
 
+def _i_first(j, bq: int, bk: int, causal: bool):
+    """Index of the first query block that can see key block ``j``."""
+    if not causal:
+        return 0
+    return (j * bk) // bq
+
+
+def _block_mask(i, j, valid_row, g: int, bq: int, bk: int, causal: bool):
+    """``[g*bq, bk]`` bool mask for score block (i, j): key validity and
+    (optionally) causality.  ``valid_row``: ``[bk]`` int key validity."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (g * bq, bk), 0)
+    q_pos = i * bq + jax.lax.rem(row, bq)
+    k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (g * bq, bk), 1)
+    ok = valid_row[None, :] > 0
+    if causal:
+        ok = ok & (k_pos <= q_pos)
+    return ok
+
+
 def _flash_kernel(
     valid_ref,  # [1, 1, bk] int32 key validity
     q_ref,      # [1, g, bq, hd] — the WHOLE GQA group of this kv head
     k_ref,      # [1, 1, bk, hd]
     v_ref,      # [1, 1, bk, hd]
     o_ref,      # [1, g, bq, hd]
+    lse_ref,    # [1, 1, g*bq, 128] f32 log-sum-exp (for the backward)
     m_scr,      # [g*bq, 128] f32 running max
     l_scr,      # [g*bq, 128] f32 running denominator
     acc_scr,    # [g*bq, hd] f32 output accumulator
@@ -86,12 +126,7 @@ def _flash_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [g*bq, bk]
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (g * bq, bk), 0)
-        q_pos = i * bq + jax.lax.rem(row, bq)
-        k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (g * bq, bk), 1)
-        ok = valid_ref[0, 0, :][None, :] > 0
-        if causal:
-            ok = ok & (k_pos <= q_pos)
+        ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal)
         s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_scr[:, :1]  # [g*bq, 1]
@@ -111,8 +146,370 @@ def _flash_kernel(
     @pl.when(j == j_last)
     def _finalize():
         l = l_scr[:, :1]
-        o = acc_scr[:] / jnp.where(l > 0.0, l, 1.0)
+        l_safe = jnp.where(l > 0.0, l, 1.0)
+        o = acc_scr[:] / l_safe
         o_ref[0] = o.reshape(g, bq, o_ref.shape[-1]).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(l_safe)  # [g*bq, 1]
+        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def _flash_fwd_call(
+    q: jnp.ndarray,  # [B, S, nq, hd]
+    k: jnp.ndarray,  # [B, T, nkv, hd]
+    v: jnp.ndarray,  # [B, T, nkv, hd]
+    key_valid: jnp.ndarray,  # [B, T] int32
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+):
+    """Run the forward kernel; returns ``(out [B,S,nq,hd], lse5d)``."""
+    B, S, nq, hd = q.shape
+    T, nkv = k.shape[1], k.shape[2]
+    assert S % block_q == 0 and T % block_k == 0, (S, T, block_q, block_k)
+    g = nq // nkv
+    n_qb = S // block_q
+    n_kb = T // block_k
+    scale = 1.0 / (hd ** 0.5)
+
+    # [B, 1, T]: the batch axis leads so the trailing block dims (1, bk)
+    # satisfy Mosaic's tiling rule for any B (a (1, bk) block on a 2-D
+    # [B, T] array is rejected when B > 1).
+    valid3 = key_valid.astype(jnp.int32)[:, None, :]
+
+    # Mosaic requires the trailing two block dims be (8, 128)-divisible or
+    # full — so heads go up front: [B, heads, seq, hd].
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, g=g, bq=block_q, bk=block_k, n_kb=n_kb,
+        causal=causal,
+    )
+
+    def jc(i, j):
+        # Clamp strictly-future key blocks to the diagonal: Mosaic sees a
+        # revisited block index and elides the DMA for skipped iterations.
+        return jnp.minimum(j, _j_last(i, block_q, block_k, n_kb, causal))
+
+    grid = (B, nkv, n_qb, n_kb)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, jc(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, hd),
+                         lambda b, h, i, j: (b, h, jc(i, j), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, hd),
+                         lambda b, h, i, j: (b, h, jc(i, j), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g * block_q, 128),
+                         lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nq, S, hd), q.dtype),
+            jax.ShapeDtypeStruct((B, nkv, g * S, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g * block_q, 128), jnp.float32),
+            pltpu.VMEM((g * block_q, 128), jnp.float32),
+            pltpu.VMEM((g * block_q, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(valid3, qt, kt, vt)
+    # Compact the lane-replicated LSE for the residual (the backward
+    # re-broadcasts; 128× less residual memory when remat is off).
+    return out.transpose(0, 2, 1, 3), lse[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    valid_ref,  # [1, 1, bk]
+    q_ref,      # [1, g, bq, hd]
+    k_ref,      # [1, 1, bk, hd]
+    v_ref,      # [1, 1, bk, hd]
+    do_ref,     # [1, g, bq, hd]
+    lse_ref,    # [1, 1, g*bq, 128] (lane-replicated)
+    delta_ref,  # [1, 1, g*bq, 128] (lane-replicated)
+    dq_ref,     # [1, g, bq, hd] out
+    dq_scr,     # [g*bq, hd] f32
+    *,
+    scale: float,
+    g: int,
+    bq: int,
+    bk: int,
+    n_kb: int,
+    causal: bool,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    j_last = _j_last(i, bq, bk, n_kb, causal)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(j <= j_last)
+    def _visit():
+        hd = q_ref.shape[-1]
+        q = q_ref[0].reshape(g * bq, hd)
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0].reshape(g * bq, hd)
+        lse = lse_ref[0, 0, :, :1]  # [g*bq, 1]
+        delta = delta_ref[0, 0, :, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal)
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.exp(s - lse)  # [g*bq, bk]; 0 at masked entries, 1/T at dead rows
+
+        dp = jax.lax.dot_general(  # dO · Vᵀ
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
+        dq_scr[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == j_last)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].reshape(g, bq, dq_ref.shape[-1]).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    valid_ref,  # [1, 1, bk]
+    q_ref,      # [1, g, bq, hd]
+    k_ref,      # [1, 1, bk, hd]
+    v_ref,      # [1, 1, bk, hd]
+    do_ref,     # [1, g, bq, hd]
+    lse_ref,    # [1, 1, g*bq, 128] (lane-replicated)
+    delta_ref,  # [1, 1, g*bq, 128] (lane-replicated)
+    dk_ref,     # [1, 1, bk, hd] out
+    dv_ref,     # [1, 1, bk, hd] out
+    dk_scr,     # [bk, hd] f32
+    dv_scr,     # [bk, hd] f32
+    *,
+    scale: float,
+    g: int,
+    bq: int,
+    bk: int,
+    n_qb: int,
+    causal: bool,
+):
+    j = pl.program_id(2)
+    i = pl.program_id(3)
+    i_first = _i_first(j, bq, bk, causal)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    # Query blocks strictly before the diagonal cannot see key block j —
+    # their index maps clamp to i_first, so the DMA is elided too.
+    @pl.when(i >= i_first)
+    def _visit():
+        hd = q_ref.shape[-1]
+        q = q_ref[0].reshape(g * bq, hd)
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0].reshape(g * bq, hd)
+        lse = lse_ref[0, 0, :, :1]  # [g*bq, 1]
+        delta = delta_ref[0, 0, :, :1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal)
+        s = jnp.where(ok, s, NEG_INF)
+        p = jnp.exp(s - lse)
+
+        # dV = Pᵀ · dO — the GQA group's g heads fold into the row axis, so
+        # one dot also performs the sum over the group.
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dk_scr[:] += jax.lax.dot_general(  # dSᵀ · Q
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(i == n_qb - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_call(
+    q, k, v, key_valid, out, lse, dout,
+    causal: bool, block_q: int, block_k: int, interpret: bool,
+):
+    B, S, nq, hd = q.shape
+    T, nkv = k.shape[1], k.shape[2]
+    g = nq // nkv
+    n_qb = S // block_q
+    n_kb = T // block_k
+    scale = 1.0 / (hd ** 0.5)
+
+    valid3 = key_valid.astype(jnp.int32)[:, None, :]
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    dot = dout.transpose(0, 2, 1, 3)
+    out_t = out.transpose(0, 2, 1, 3)
+
+    # delta = rowsum(dO ∘ O): cheap O(S·D) XLA reduction, laid out like lse —
+    # flat rows ordered (q_block, group_head, row) to match the kernels' GQA
+    # fold, lane-replicated to 128 (see module docstring).
+    delta = jnp.sum(
+        dot.astype(jnp.float32) * out_t.astype(jnp.float32), axis=-1
+    )  # [B, nq, S]
+    delta = (
+        delta.reshape(B, nkv, g, n_qb, block_q)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B, nkv, g * S)
+    )
+    delta = jnp.broadcast_to(delta[..., None], (B, nkv, g * S, 128))
+    lse = jnp.broadcast_to(lse[..., None], (B, nkv, g * S, 128))
+
+    def jc(i, j):
+        return jnp.minimum(j, _j_last(i, block_q, block_k, n_kb, causal))
+
+    dq_kernel = functools.partial(
+        _flash_bwd_dq_kernel, scale=scale, g=g, bq=block_q, bk=block_k,
+        n_kb=n_kb, causal=causal,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(B, nkv, n_qb, n_kb),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, jc(i, j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, hd),
+                         lambda b, h, i, j: (b, h, jc(i, j), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, hd),
+                         lambda b, h, i, j: (b, h, jc(i, j), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g * block_q, 128),
+                         lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g * block_q, 128),
+                         lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, block_q, hd),
+                               lambda b, h, i, j: (b, h, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, nq, S, hd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((g * block_q, hd), jnp.float32)],
+        interpret=interpret,
+    )(valid3, qt, kt, vt, dot, lse, delta)
+
+    def ic(j, i):
+        return jnp.maximum(i, _i_first(j, block_q, block_k, causal))
+
+    dkv_kernel = functools.partial(
+        _flash_bwd_dkv_kernel, scale=scale, g=g, bq=block_q, bk=block_k,
+        n_qb=n_qb, causal=causal,
+    )
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(B, nkv, n_kb, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda b, h, j, i: (b, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, block_q, hd),
+                         lambda b, h, j, i: (b, h, ic(j, i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, hd), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, hd), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, block_q, hd),
+                         lambda b, h, j, i: (b, h, ic(j, i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g * block_q, 128),
+                         lambda b, h, j, i: (b, h, ic(j, i), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, g * block_q, 128),
+                         lambda b, h, j, i: (b, h, ic(j, i), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, hd), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, hd), lambda b, h, j, i: (b, h, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nkv, T, hd), k.dtype),
+            jax.ShapeDtypeStruct((B, nkv, T, hd), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, hd), jnp.float32),
+            pltpu.VMEM((block_k, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(valid3, qt, kt, vt, dot, lse, delta)
+
+    return dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3), dv.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp assembly
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, key_valid, causal, block_q, block_k, interpret):
+    out, _ = _flash_fwd_call(q, k, v, key_valid, causal, block_q, block_k,
+                             interpret)
+    return out
+
+
+def _flash_vjp_fwd(q, k, v, key_valid, causal, block_q, block_k, interpret):
+    out, lse = _flash_fwd_call(q, k, v, key_valid, causal, block_q, block_k,
+                               interpret)
+    return out, (q, k, v, key_valid, out, lse)
+
+
+def _flash_vjp_bwd(causal, block_q, block_k, interpret, res, dout):
+    q, k, v, key_valid, out, lse = res
+    dq, dk, dv = _flash_bwd_call(
+        q, k, v, key_valid, out, lse, dout, causal, block_q, block_k, interpret
+    )
+    # key_valid is integer data: its cotangent is the empty float0 type.
+    dvalid = np.zeros(key_valid.shape, jax.dtypes.float0)
+    return dq, dk, dv, dvalid
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
 @functools.partial(
@@ -135,63 +532,13 @@ def flash_attention(
     ``S`` and ``T`` must be multiples of the block sizes (callers pad to the
     prefill buckets, which are).  Queries are assumed to start at absolute
     position 0 (prefill / training).  Returns ``[B, S, nq, hd]`` in q's
-    dtype.
+    dtype.  Differentiable in (q, k, v) via the Pallas backward kernels.
     """
     B, S, nq, hd = q.shape
-    T, nkv = k.shape[1], k.shape[2]
-    assert S % block_q == 0 and T % block_k == 0, (S, T, block_q, block_k)
-    g = nq // nkv
-    n_qb = S // block_q
-    n_kb = T // block_k
-    scale = 1.0 / (hd ** 0.5)
-
+    T = k.shape[1]
     if key_valid is None:
         key_valid = jnp.ones((B, T), jnp.int32)
-    # [B, 1, T]: the batch axis leads so the trailing block dims (1, bk)
-    # satisfy Mosaic's tiling rule for any B (a (1, bk) block on a 2-D
-    # [B, T] array is rejected when B > 1).
-    key_valid = key_valid.astype(jnp.int32)[:, None, :]
-
-    # Mosaic requires the trailing two block dims be (8, 128)-divisible or
-    # full — so heads go up front: [B, heads, seq, hd].
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, g=g, bq=block_q, bk=block_k, n_kb=n_kb,
-        causal=causal,
+    return _flash(
+        q, k, v, key_valid.astype(jnp.int32), causal, block_q, block_k,
+        interpret,
     )
-
-    def jc(i, j):
-        # Clamp strictly-future key blocks to the diagonal: Mosaic sees a
-        # revisited block index and elides the DMA for skipped iterations.
-        return jnp.minimum(j, _j_last(i, block_q, block_k, n_kb, causal))
-
-    grid = (B, nkv, n_qb, n_kb)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, jc(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, hd),
-                         lambda b, h, i, j: (b, h, jc(i, j), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, hd),
-                         lambda b, h, i, j: (b, h, jc(i, j), 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, nq, S, hd), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((g * block_q, 128), jnp.float32),
-            pltpu.VMEM((g * block_q, 128), jnp.float32),
-            pltpu.VMEM((g * block_q, hd), jnp.float32),
-        ],
-        interpret=interpret,
-    )(key_valid, qt, kt, vt)
-    return out.transpose(0, 2, 1, 3)

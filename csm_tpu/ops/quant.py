@@ -1,4 +1,4 @@
-"""W8A8 quantized matmul path for the backbone decode step.
+"""W8A16 quantized matmul path for the backbone decode step.
 
 The per-frame backbone decode step is HBM-bound: one token through 16
 layers re-reads ~2 GB of bf16 weights (~2.4 ms at v5e's 819 GB/s) — the
@@ -12,9 +12,9 @@ matmul stack drops from ~2.8 ms to ~1.45 ms per decode step.
 
 Opt-in (``qbb=`` through :func:`csm_tpu.generation.generate_compiled`):
 prefill and training stay bf16; only the per-frame decode steps use the
-quantized weights.  Accuracy: weight-only int8 per-channel plus dynamic
-per-row activation quant — the standard W8A8 recipe; logit deltas are
-documented in docs/ARCHITECTURE.md.
+quantized weights.  Accuracy: weight-only per-output-channel int8 with
+bf16 activations (W8A16) — no activation quantization error at all; logit
+deltas are documented in docs/ARCHITECTURE.md.
 
 No reference counterpart (the reference has no quantization at all); this
 is pure TPU-first headroom on top of `/root/reference/ARCHITECTURE.md:185`'s

@@ -11,15 +11,19 @@ collectives over ICI.
 from csm_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
+    maybe_init_distributed,
     param_sharding,
+    put_global_batch,
     shard_batch,
     shard_params,
 )
 
 __all__ = [
     "make_mesh",
+    "maybe_init_distributed",
     "param_sharding",
     "batch_sharding",
+    "put_global_batch",
     "shard_params",
     "shard_batch",
 ]

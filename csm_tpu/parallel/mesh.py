@@ -21,11 +21,54 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> bool:
+    """Env-guarded multi-host bootstrap — the TPU counterpart of the
+    reference's ``torchrun`` DDP reach (``/root/reference/train.py:414-425``).
+
+    Activation (before any backend is touched):
+
+    - ``CSM_TPU_COORDINATOR=host:port`` plus ``CSM_TPU_NUM_PROCESSES`` and
+      ``CSM_TPU_PROCESS_ID`` → explicit ``jax.distributed.initialize``
+      (works for CPU simulations and manual TPU bring-up);
+    - ``CSM_TPU_MULTIHOST=1`` alone → argument-free
+      ``jax.distributed.initialize()`` (TPU pods self-discover via the
+      metadata service).
+
+    After init, ``jax.devices()`` is the GLOBAL device list, so
+    :func:`make_mesh` spans hosts: the ``model`` axis stays within a host
+    (ICI) and the ``data`` axis crosses hosts (DCN) — gradient all-reduce
+    over ``data`` is the only DCN collective, the standard DP-over-DCN
+    layout.  Returns True iff distributed mode was initialized; a no-op
+    single-host run returns False and nothing changes.
+    """
+    import os
+
+    addr = os.environ.get("CSM_TPU_COORDINATOR")
+    if addr:
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["CSM_TPU_NUM_PROCESSES"]),
+            process_id=int(os.environ["CSM_TPU_PROCESS_ID"]),
+        )
+        return True
+    if os.environ.get("CSM_TPU_MULTIHOST") == "1":
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(
     data: Optional[int] = None, model: int = 1, devices=None
 ) -> Mesh:
     """Build a ``(data, model)`` mesh.  ``data`` defaults to
-    ``len(devices) // model``."""
+    ``len(devices) // model``.
+
+    ``jax.devices()`` orders devices process-major, so the reshape keeps
+    the ``model`` axis inside each process (ICI) and spreads ``data``
+    across processes (DCN) whenever ``model`` divides the per-process
+    device count — the right collective topology for multi-host DP
+    (:func:`maybe_init_distributed`).
+    """
     if devices is None:
         devices = jax.devices()
     if data is None:
@@ -116,3 +159,20 @@ def shard_params(params: dict, mesh: Mesh) -> dict:
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     s = batch_sharding(mesh)
     return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def put_global_batch(batch: dict, sharding: NamedSharding) -> dict:
+    """Place host batches under ``sharding``, multi-host aware.
+
+    Single-process: plain ``device_put``.  Multi-process: every process
+    holds the FULL global batch on host (the data pipeline is deterministic
+    by item index, so all processes materialize the same arrays) and
+    ``jax.make_array_from_process_local_data`` carves out the rows this
+    process's devices own — no cross-host data movement.
+    """
+    if jax.process_count() == 1:
+        return {k: jax.device_put(jax.numpy.asarray(v), sharding) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }

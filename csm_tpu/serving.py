@@ -42,6 +42,9 @@ class CSMStreamer:
         topk: int = 50,
         greedy: bool = False,
         stop_on_all_zeros: bool = True,
+        qdec: Optional[dict] = None,
+        qbb: Optional[dict] = None,
+        qsb: Optional[dict] = None,
     ):
         self.params = params
         self.config = config
@@ -51,17 +54,27 @@ class CSMStreamer:
         self.greedy = greedy
         self.stop_on_all_zeros = stop_on_all_zeros
 
+        # Quantized fast paths — same contract as CSMServer: the fused
+        # decoder kernel (qdec), W8A16 backbone (qbb), or streamed-weight
+        # backbone kernel (qsb, B ≤ 8) apply to the per-frame steps; prefill
+        # conditions on the prompt in full bf16 (qdec only).  Passed as jit
+        # ARGUMENTS, not closure captures (captured pytrees inline a
+        # gigabyte of weights into the HLO).
+        self._qdec = qdec
+        self._qbb = qbb
+        self._qsb = qsb
         self._prefill = jax.jit(
-            lambda p, ids, mask, tl, cache, key: generate_frame(
+            lambda p, ids, mask, tl, cache, key, qd: generate_frame(
                 p, config, ids, mask, cache=cache, rng=key,
                 temperature=temperature, topk=topk, greedy=greedy,
-                true_len=tl, flash_prefill=True,
+                true_len=tl, flash_prefill=True, qdec=qd,
             )
         )
         self._step = jax.jit(
-            lambda p, ids, mask, cache, key: generate_frame(
+            lambda p, ids, mask, cache, key, qd, qb, qs: generate_frame(
                 p, config, ids, mask, cache=cache, rng=key,
                 temperature=temperature, topk=topk, greedy=greedy,
+                qdec=qd, qbb=qb, qsb=qs,
             )
         )
 
@@ -95,7 +108,7 @@ class CSMStreamer:
         rng, k0 = jax.random.split(rng)
         out = self._prefill(
             self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
-            cache, k0,
+            cache, k0, self._qdec,
         )
         self.cache = out.cache
         self._rng = rng
@@ -112,7 +125,10 @@ class CSMStreamer:
             return None
         ids, mask = _next_frame_inputs(self.config, self._last_frame)
         self._rng, k = jax.random.split(self._rng)
-        out = self._step(self.params, ids, mask, self.cache, k)
+        out = self._step(
+            self.params, ids, mask, self.cache, k,
+            self._qdec, self._qbb, self._qsb,
+        )
         self.cache = out.cache
         self._last_frame = out.samples
         return self._observe(out.samples)

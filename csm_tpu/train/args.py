@@ -59,6 +59,12 @@ class TrainingArguments:
     lora_alpha: float = 16.0
     lora_targets: str = "wq,wv"  # comma-separated stacked-matrix names
     # TPU-specific
+    gradient_checkpointing: bool = True  # remat the backbone layer scan:
+    # recompute each layer's activations in the backward instead of storing
+    # them (jax.checkpoint).  Combined with the flash-attention VJP this is
+    # what fits full-context (2048-frame) CSM-1B fine-tuning in one chip's
+    # 16 GB HBM; costs ~1 extra forward per step.  (HF's flag of the same
+    # name defaults off; on TPU memory is the binding constraint.)
     max_seq_length: int = 2048  # hard cap / fallback static frame bucket
     pad_to_multiple: int = 64  # length-bucket granularity: batches pad to the
     # next multiple instead of always paying the full max_seq_length

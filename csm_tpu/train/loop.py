@@ -39,7 +39,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from csm_tpu.config import CSMConfig
 from csm_tpu.models import csm
-from csm_tpu.parallel.mesh import batch_sharding, make_mesh, param_sharding
+from csm_tpu.parallel.mesh import (
+    batch_sharding, make_mesh, param_sharding, put_global_batch,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -79,6 +81,7 @@ def make_train_step(
     max_decoder_frames: int,
     compute_dtype=None,
     lora_cfg: Optional[dict] = None,
+    remat: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -115,9 +118,12 @@ def make_train_step(
             microbatch["attention_mask"],
             labels=microbatch["labels"],
             max_decoder_frames=max_decoder_frames,
-            # The Pallas flash kernel has no VJP — gradients need the XLA
-            # attention path (flash stays on for inference/eval).
-            use_flash=False,
+            # The flash kernel carries a Pallas backward (custom_vjp) since
+            # round 3 — gradients flow through it on eligible shapes; remat
+            # recomputes each backbone layer in the backward so full-context
+            # training fits in HBM.
+            use_flash=True,
+            remat=remat,
         )
         return out.loss, {
             "backbone_loss": out.backbone_loss,
@@ -254,6 +260,7 @@ class CSMTrainer:
         step_fn = make_train_step(
             config, optimizer, max_dec, compute_dtype=compute_dtype,
             lora_cfg=lora_cfg,
+            remat=bool(getattr(args, "gradient_checkpointing", True)),
         )
 
         with self.mesh:
@@ -285,22 +292,29 @@ class CSMTrainer:
         # formula — eval batches can hold up to global_batch*(S/ratio)+gb
         # valid decoder frames, and a smaller cap would silently drop the
         # later frames from eval_loss.
+        def _eval_out(out):
+            # Per-batch (mean, count) pairs for both losses: evaluate()
+            # aggregates token-weighted, matching HF Trainer eval semantics
+            # (``/root/reference/train.py:303-326``).
+            return (out.backbone_loss, out.backbone_targets,
+                    out.decoder_loss, out.decoder_targets)
+
         if lora_cfg is not None:
             from csm_tpu.train.lora import apply_lora
 
             self._eval_fn = jax.jit(
-                lambda tp, bp, b: csm.forward(
+                lambda tp, bp, b: _eval_out(csm.forward(
                     apply_lora(bp, tp, self.lora_alpha, self.lora_rank),
                     self.config, b["input_ids"], b["attention_mask"],
                     labels=b["labels"], max_decoder_frames=self._max_dec,
-                ).loss
+                ))
             )
         else:
             self._eval_fn = jax.jit(
-                lambda p, _bp, b: csm.forward(
+                lambda p, _bp, b: _eval_out(csm.forward(
                     p, self.config, b["input_ids"], b["attention_mask"],
                     labels=b["labels"], max_decoder_frames=self._max_dec,
-                ).loss
+                ))
             )
         self._metrics_log: list = []
 
@@ -394,10 +408,7 @@ class CSMTrainer:
             for step, batch in enumerate(
                 self._batches(skip_items=start_step * need), start=start_step + 1
             ):
-                batch = {
-                    k: jax.device_put(jnp.asarray(v), mb_sharding)
-                    for k, v in batch.items()
-                }
+                batch = put_global_batch(batch, mb_sharding)
                 self.state, metrics = self._step_fn(self.state, self.base_params, batch)
                 if args.logging_steps and step % args.logging_steps == 0:
                     last = {k: float(v) for k, v in metrics.items()}
@@ -421,38 +432,55 @@ class CSMTrainer:
         return last
 
     def evaluate(self) -> float:
-        """Mean eval loss over the eval dataset (no grad).
+        """Token-weighted eval loss over the eval dataset (no grad).
 
-        The trailing partial batch is padded with repeats of its own items
-        but only the real items' losses enter the mean (no silent drop of
-        the last ``< global_batch`` eval examples).
+        Each batch's per-loss (mean, target-count) pair is accumulated and
+        the final ``eval_loss`` is ``Σ nll / Σ targets`` for the backbone
+        and decoder CE separately, summed — i.e. the loss one giant batch
+        of the whole eval set would produce, independent of how items pack
+        into batches (HF Trainer eval semantics; a per-item mean would
+        over-weight tokens from short conversations).
+
+        The trailing partial batch is padded with label-masked copies of
+        its own items: all-(-100) labels contribute zero targets, so
+        padding cannot shift the aggregate.
         """
-        losses = []
+        bb_nll = dec_nll = 0.0  # Σ (batch mean × batch target count)
+        bb_n = dec_n = 0.0
         buf = []
 
-        def flush(n_real):
+        def flush():
+            nonlocal bb_nll, dec_nll, bb_n, dec_n
             collated = self.data_collator(buf)
             batch = {k: jnp.asarray(v) for k, v in collated.items()}
-            loss = float(self._eval_fn(self.state.params, self.base_params, batch))
-            losses.extend([loss] * n_real)
+            bl, bn, dl, dn = map(
+                float, self._eval_fn(self.state.params, self.base_params, batch)
+            )
+            bb_nll += bl * bn
+            bb_n += bn
+            dec_nll += dl * dn
+            dec_n += dn
 
         with self.mesh:
             for i in range(len(self.eval_dataset)):
                 buf.append(self.eval_dataset[i])
                 if len(buf) == self.global_batch:
-                    flush(self.global_batch)
+                    flush()
                     buf = []
             if buf:
                 n = len(buf)
-                # Pad with label-masked copies: all-(-100) labels contribute
-                # zero targets, so the batch loss covers the real items only.
                 masked = [
                     {**buf[j % n], "labels": np.full_like(buf[j % n]["labels"], -100)}
                     for j in range(n, self.global_batch)
                 ]
                 buf = buf + masked
-                flush(n)
-        mean = float(np.mean(losses)) if losses else float("nan")
+                flush()
+        if bb_n == 0 and dec_n == 0:
+            mean = float("nan")
+        else:
+            mean = (bb_nll / bb_n if bb_n else 0.0) + (
+                dec_nll / dec_n if dec_n else 0.0
+            )
         logger.info("eval_loss %.4f", mean)
         return mean
 

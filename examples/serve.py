@@ -2,7 +2,7 @@
 """Continuous-batching serving example.
 
 Runs a :class:`csm_tpu.serving.CSMServer` with the full TPU fast path —
-the batched fused int8 decoder kernel + W8A8 int8 backbone — and feeds it
+the batched fused int8 decoder kernel + W8A16 int8 backbone — and feeds it
 several text requests that arrive at different times, demonstrating
 mid-flight admission into freed slots.  Each request's token stream is
 identical to a solo run (per-stream RNG), so batching never changes

@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--streamed", action="store_true",
                     help="route the backbone through the streamed-weight "
-                    "kernel (qsb) instead of the W8A8 XLA path")
+                    "kernel (qsb) instead of the W8A16 XLA path")
     args = ap.parse_args()
 
     setup_cache(jax)

@@ -112,7 +112,7 @@ def main():
     # so only Mosaic-vs-XLA dot tiling differs; a near-tied top pair may
     # flip on one draw).  The unquantized-bf16 comparison is reported for
     # context but gated only loosely — its deltas are dominated by the
-    # int8 weight quantization that the accepted W8A8 XLA path shares.
+    # int8 weight quantization that the accepted W8A16 XLA path shares.
     lg_rels, m_emu, m_bf16 = [], 0, 0
     n_draws = 4
     rows = n_draws * B

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Hardware check for the flash-attention backward: Mosaic-compiles the
+forward (with LSE output) and both backward kernels at backbone scale and
+compares outputs + gradients against the XLA attention path on the chip.
+
+Run on the real TPU (no args): prints per-tensor max abs errors and timing
+for a [1, 2048] backbone-shaped fwd+bwd.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from _bench_lib import setup_cache
+
+
+def main():
+    setup_cache(jax)
+    from csm_tpu.models import llama
+    from csm_tpu.ops.flash_attention import flash_attention
+
+    B, S, nq, nkv, hd = 1, 2048, 32, 8, 64
+    rng = np.random.default_rng(0)
+    # f32 so the comparison tolerance is meaningful (bf16 rounds both paths).
+    q = jnp.asarray(rng.standard_normal((B, S, nq, hd)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)) * 0.3, jnp.float32)
+    valid = np.ones((B, S), np.int32)
+    valid[0, :64] = 0  # left padding
+    kv = jnp.asarray(valid)
+    w = jnp.asarray(
+        rng.standard_normal((B, S, nq, hd)) * valid[:, :, None, None],
+        jnp.float32,
+    )
+
+    @jax.jit
+    def flash_loss_and_grads(q, k, v):
+        def loss(q, k, v):
+            out = flash_attention(q, k, v, kv, causal=True)
+            return jnp.sum(out * w)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    @jax.jit
+    def xla_loss_and_grads(q, k, v):
+        def loss(q, k, v):
+            bias = llama.make_causal_bias(kv.astype(bool), S)
+            out = llama._attention(q, k, v, bias).reshape(B, S, nq, hd)
+            return jnp.sum(out * w)
+        return jax.value_and_grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    t0 = time.time()
+    lf, gf = flash_loss_and_grads(q, k, v)
+    gf = jax.tree.map(np.asarray, gf)
+    print(f"flash fwd+bwd compile+run: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    lx, gx = xla_loss_and_grads(q, k, v)
+    gx = jax.tree.map(np.asarray, gx)
+    print(f"xla   fwd+bwd compile+run: {time.time()-t0:.1f}s")
+
+    print(f"loss: flash={float(lf):.6f} xla={float(lx):.6f}")
+    ok = True
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gx):
+        scale = np.abs(b).max()
+        err = np.abs(a - b).max()
+        rel = err / max(scale, 1e-9)
+        print(f"{name}: max|Δ|={err:.3e} (rel {rel:.3e}, scale {scale:.3e})")
+        # TPU f32 matmuls run as bf16 passes on the MXU (different summation
+        # order per path): ~4e-3 relative is the expected precision floor at
+        # S=2048, not a math error — the CPU interpret gradcheck
+        # (tests/test_flash_attention.py) pins the math at 1e-4 in true f32.
+        ok = ok and rel < 2e-2
+
+    # timing: median of 5 steady-state fwd+bwd
+    for fn, tag in ((flash_loss_and_grads, "flash"), (xla_loss_and_grads, "xla")):
+        ts = []
+        for _ in range(5):
+            t0 = time.time()
+            _, g = fn(q, k, v)
+            np.asarray(g[0])
+            ts.append(time.time() - t0)
+        print(f"{tag} fwd+bwd median: {sorted(ts)[2]*1000:.2f} ms")
+
+    print("OK" if ok else "MISMATCH")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -130,11 +130,121 @@ def test_end_to_end_forward_flash_vs_xla():
     )
 
 
+def test_flash_vjp_matches_xla_grads():
+    """Gradcheck (VERDICT r2 next #1): gradients through the Pallas flash
+    kernel (custom_vjp backward kernels) equal the XLA attention path's
+    gradients for q, k, v — including GQA group folding, causal masking,
+    ragged key validity (left padding), and zero-cotangent padded rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.models import llama
+    from csm_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(7)
+    B, S, nq, nkv, hd = 2, 64, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    # Row 1 left-padded: first 16 positions invalid.
+    key_valid = np.ones((B, S), np.int32)
+    key_valid[1, :16] = 0
+    kv = jnp.asarray(key_valid)
+    # Query weights: zero on padded rows (their dO must be zero, as the
+    # training loss masks padding), random elsewhere — mixes every output.
+    w = jnp.asarray(
+        rng.standard_normal((B, S, nq, hd)) * key_valid[:, :, None, None],
+        jnp.float32,
+    )
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, kv, causal=True, block_q=16,
+                              block_k=16, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_xla(q, k, v):
+        bias = llama.make_causal_bias(kv.astype(bool), S)
+        out = llama._attention(q, k, v, bias).reshape(B, S, nq, hd)
+        return jnp.sum(out * w)
+
+    lf, gf = jax.value_and_grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    lx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(lf), float(lx), rtol=1e-5)
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
+        )
+
+
+def test_flash_vjp_noncausal_full_window():
+    """Backward also correct without causal masking (the i_first/j_last
+    skipping degenerates to the full square)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.models import llama
+    from csm_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(8)
+    B, S, nq, nkv, hd = 1, 32, 2, 1, 16
+    q = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    kv = jnp.ones((B, S), jnp.int32)
+    w = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, kv, causal=False, block_q=16,
+                              block_k=16, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_xla(q, k, v):
+        ones = jnp.zeros((B, 1, 1, S, S), jnp.float32)  # no masking
+        out = llama._attention(q, k, v, ones).reshape(B, S, nq, hd)
+        return jnp.sum(out * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
+        )
+
+
+def test_remat_grads_match_no_remat():
+    """jax.checkpoint over the layer scan changes memory, not math: the
+    train-path gradients with remat on equal the un-remat'ed gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.config import CSMConfig
+    from csm_tpu.models import csm
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    rng = np.random.default_rng(4)
+    ids = np.zeros((1, 16, 33), np.int64)
+    ids[..., 32] = rng.integers(1, cfg.text_vocab_size, (1, 16))
+    mask = np.zeros((1, 16, 33), np.float32)
+    mask[..., 32] = 1
+
+    def loss(p, remat):
+        return csm.forward(
+            p, cfg, jnp.asarray(ids), jnp.asarray(mask),
+            labels=jnp.asarray(ids), max_decoder_frames=4, remat=remat,
+        ).loss
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_training_grad_path_skips_flash():
-    """Gradients must flow even when the flash impl is forced: the train
-    path passes use_flash=False because the Pallas kernel has no VJP (a
-    latent crash on real TPUs until round 2 — CPU tests never trigger
-    flash, so this guards the gating itself)."""
+    """use_flash=False remains a working escape hatch: gradients flow on the
+    XLA path even with the flash impl forced (this guarded a real crash in
+    rounds 1-2 when the kernel had no VJP; the switch is now an A-B lever)."""
     import jax
     import jax.numpy as jnp
 

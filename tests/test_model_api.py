@@ -32,6 +32,30 @@ def test_forward_and_generate_surface():
     np.testing.assert_array_equal(np.asarray(f.samples), frames[:, 0])
 
 
+def test_forward_return_dict_false_and_inert_flags():
+    """``return_dict=False`` yields the reference's tuple form
+    (``modeling_csm.py:467-473``); ``output_attentions`` /
+    ``output_hidden_states`` are accepted and change nothing (the reference
+    computes and discards them)."""
+    cfg = CSMConfig.tiny()
+    model = CSMModel(cfg, seed=0)
+    data = random_csm_batch(cfg, 1, 10, seed=0)
+
+    ref = model(data["input_ids"], data["attention_mask"], labels=data["labels"])
+    tup = model(
+        data["input_ids"], data["attention_mask"], labels=data["labels"],
+        return_dict=False, output_attentions=True, output_hidden_states=True,
+    )
+    assert isinstance(tup, tuple) and len(tup) == 3  # (loss, last_h, logits)
+    np.testing.assert_allclose(float(tup[0]), float(ref.loss))
+    np.testing.assert_array_equal(np.asarray(tup[1]),
+                                  np.asarray(ref.last_hidden_state))
+    np.testing.assert_array_equal(np.asarray(tup[2]), np.asarray(ref.logits))
+
+    tup2 = model(data["input_ids"], data["attention_mask"], return_dict=False)
+    assert isinstance(tup2, tuple) and len(tup2) == 2  # no labels → no loss
+
+
 def test_save_load_roundtrip(tmp_path):
     cfg = CSMConfig.tiny()
     model = CSMModel(cfg, seed=1)

@@ -1,4 +1,4 @@
-"""W8A8 quantized backbone decode path (csm_tpu/ops/quant.py)."""
+"""W8A16 quantized backbone decode path (csm_tpu/ops/quant.py)."""
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ def test_qmm_exact_w8a16_arithmetic():
 
 def test_backbone_decode_step_quantized_close():
     """A cached 1-frame decode step with int8 backbone weights stays close
-    to the bf16 path (the W8A8 accuracy contract)."""
+    to the bf16 path (the W8A16 accuracy contract)."""
     from csm_tpu.models.llama import KVCache
 
     cfg = CSMConfig.tiny()

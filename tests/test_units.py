@@ -151,6 +151,60 @@ def test_sample_topk_distribution():
     np.testing.assert_allclose(freq[:3], probs, atol=0.03)
 
 
+def test_sample_topk_statistical_parity_vs_torch():
+    """Distributional parity with the reference sampler (VERDICT r2 next #8):
+    on fixed tiny-vocab logits, the empirical distributions of our Gumbel
+    top-k draws and the reference's ``sample_topk``
+    (``modeling_csm.py:170-189``) agree to small total-variation distance —
+    and both match the exact temperature-scaled top-k softmax."""
+    import jax
+    import torch
+
+    from csm_tpu.ops.sampling import sample_topk
+
+    from tests.oracle import _import_reference
+
+    modeling_csm = _import_reference()
+
+    V, topk, temp, n = 16, 5, 0.8, 100_000
+    rng = np.random.default_rng(3)
+    row = rng.standard_normal(V).astype(np.float32)
+
+    # exact top-k softmax after temperature scaling
+    scaled = row / temp
+    kth = np.sort(scaled)[-topk]
+    exact = np.where(scaled < kth, -np.inf, scaled)
+    exact = np.exp(exact - exact.max())
+    exact = exact / exact.sum()
+
+    # ours: n independent per-key draws of the same row
+    import jax.numpy as jnp
+
+    jrow = jnp.asarray(row)[None, :]
+    ours = np.asarray(
+        jax.jit(
+            jax.vmap(lambda k: sample_topk(k, jrow, topk, temp)[0])
+        )(jax.random.split(jax.random.key(0), n))
+    )
+    ours_freq = np.bincount(ours, minlength=V) / n
+
+    # reference: one batched call on n copies of the row
+    torch.manual_seed(0)
+    tlogits = torch.from_numpy(np.tile(row, (n, 1)))
+    ref = modeling_csm.sample_topk(tlogits, topk, temp).numpy().ravel()
+    ref_freq = np.bincount(ref, minlength=V) / n
+
+    def tv(p, q):
+        return 0.5 * np.abs(p - q).sum()
+
+    assert tv(ours_freq, exact) < 0.01
+    assert tv(ref_freq, exact) < 0.01
+    assert tv(ours_freq, ref_freq) < 0.015
+    # support is identical: both sample only the top-k set
+    assert set(np.nonzero(ours_freq)[0]) == set(np.nonzero(exact)[0])
+    assert set(np.nonzero(ref_freq)[0]) == set(np.nonzero(exact)[0])
+
+
 def test_warmup_generation_compiles():
     """warmup_generation AOT-compiles without executing (tiny config, CPU)."""
     import jax

@@ -37,6 +37,16 @@ def main(argv=None):
 
     model_args, data_args, training_args = parse_args(argv)
 
+    # Multi-host (DCN) data parallelism — the torchrun-DDP counterpart
+    # (``/root/reference/train.py:414-425``).  Env-guarded; a plain
+    # single-host run is untouched.  Must run before jax.devices().
+    from csm_tpu.parallel.mesh import maybe_init_distributed
+
+    if maybe_init_distributed():
+        logger.info(
+            "multi-host: process %d/%d", jax.process_index(), jax.process_count()
+        )
+
     np.random.seed(training_args.seed)
     logger.info("devices: %s", jax.devices())
 
