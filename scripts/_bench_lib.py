@@ -7,7 +7,32 @@ compile cache, and time by min-of-reps around fully materialized results
 
 from __future__ import annotations
 
+import json
+import os
 import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHECKS_PATH = os.path.join(REPO, "KERNEL_CHECKS.json")
+
+
+def record_check(name: str, ok: bool, **fields) -> None:
+    """Fold this check's outcome into the machine-readable artifact
+    ``KERNEL_CHECKS.json`` (one dict keyed by check name; numbers rounded).
+    The judge/driver reads this instead of scraping stdout."""
+    entry = {"ok": bool(ok), "ts": int(time.time())}
+    for k, v in fields.items():
+        entry[k] = round(v, 4) if isinstance(v, float) else v
+    data = {}
+    if os.path.exists(CHECKS_PATH):
+        try:
+            with open(CHECKS_PATH) as f:
+                data = json.load(f)
+        except Exception:
+            data = {}
+    data[name] = entry
+    with open(CHECKS_PATH, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
 
 
 def setup_cache(jax):

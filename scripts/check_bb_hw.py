@@ -164,6 +164,14 @@ def main():
     per = (t_hi - t_lo) / 35
     print(f"bb kernel (B={B}, W={W}): {per:.3f} ms/step "
           f"(XLA int8 path was ~1.57 ms at W=256)")
+    from _bench_lib import record_check
+
+    record_check(
+        f"bb_kernel_B{B}_W{W}", ok, ms_per_step=float(per),
+        c0_logit_rel_vs_bf16=float(rel),
+        greedy_match_emulator=f"{m_emu}/{rows}",
+        greedy_match_bf16=f"{m_bf16}/{rows}",
+    )
     sys.exit(0 if ok else 1)
 
 

@@ -88,6 +88,14 @@ def main():
             ts.append(time.time() - t0)
         print(f"{tag} fwd+bwd median: {sorted(ts)[2]*1000:.2f} ms")
 
+    from _bench_lib import record_check
+
+    rels = {
+        name: float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-9))
+        for name, a, b in zip(("dq", "dk", "dv"), gf, gx)
+    }
+    record_check("flash_attention_bwd_S2048", ok,
+                 **{f"{k}_rel": v for k, v in rels.items()})
     print("OK" if ok else "MISMATCH")
     return 0 if ok else 1
 

@@ -160,6 +160,9 @@ def main():
                       f"({'near-tie OK' if near else 'FAIL'})")
     print(f"batched(B=8)+solo vs emulator: {exact_rows}/16 exact, "
           f"all divergences near-tie: {'OK' if ok else 'FAILED'}")
+    from _bench_lib import record_check
+
+    record_check("fused_decoder_kernel", ok, exact_rows_of_16=exact_rows)
     sys.exit(0 if ok else 1)
 
 

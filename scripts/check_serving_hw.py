@@ -89,6 +89,12 @@ def main():
               f"{None if frames is None else frames.shape}")
     print(f"served {len(rids)} requests / {total} frames in {dt:.1f}s "
           f"(n_slots={n_slots}, fused+streamed kernels)")
+    from _bench_lib import record_check
+
+    record_check(
+        f"serving_n{n_slots}", ok, requests=len(rids), frames=total,
+        wall_s=float(dt),
+    )
     sys.exit(0 if ok else 1)
 
 

@@ -91,9 +91,19 @@ def main():
         "labels": jnp.asarray(labels),
     }
 
+    from _bench_lib import record_check
+
+    tag = (f"train_S{S}_{'xla' if args.xla_attn else 'flash'}"
+           f"{'_noremat' if args.no_remat else ''}")
     t0 = time.time()
-    state, metrics = step_fn(state, None, batch)
-    loss0 = float(metrics["loss"])
+    try:
+        state, metrics = step_fn(state, None, batch)
+        loss0 = float(metrics["loss"])
+    except Exception as e:  # RESOURCE_EXHAUSTED etc. — a result, record it
+        msg = str(e).splitlines()[0][:200]
+        print(f"FAILED: {msg}")
+        record_check(tag, False, error=msg)
+        return 1
     print(f"compile+first step: {time.time()-t0:.1f}s  loss={loss0:.4f}",
           file=sys.stderr)
 
@@ -112,6 +122,11 @@ def main():
           f"loss {loss:.4f} (finite={np.isfinite(loss)}), "
           f"grad_norm {float(metrics['grad_norm']):.3f}")
     print(f"peak HBM: {peak:.2f} GiB" if peak else f"memory_stats: {stats}")
+    record_check(
+        tag, bool(np.isfinite(loss)), ms_per_step=float(med * 1000),
+        loss_first=loss0, loss_last=float(loss),
+        peak_hbm_gib=float(peak) if peak else None,
+    )
     return 0 if np.isfinite(loss) else 1
 
 
