@@ -197,6 +197,7 @@ def backbone_forward(
     qbb: Optional[dict] = None,
     use_flash: bool = True,
     remat: bool = False,
+    remat_policy: str = "nothing",
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Embed-sum + backbone stack.  Returns full hidden ``[B, S, D]``.
 
@@ -242,6 +243,7 @@ def backbone_forward(
             params["backbone"], config.backbone, h,
             rope_table=rope, positions=positions, attn_bias=bias, cache=None,
             flash_key_valid=flash_valid, qlayers=qbb, remat=remat,
+            remat_policy=remat_policy,
         )
         return hidden, None
 
@@ -371,6 +373,7 @@ def forward(
     qsb: Optional[dict] = None,
     use_flash: bool = True,
     remat: bool = False,
+    remat_policy: str = "nothing",
 ) -> CSMOutput:
     """Full forward pass with optional training losses
     (``modeling_csm.py:292-482``).
@@ -402,7 +405,7 @@ def forward(
     hidden, new_cache = backbone_forward(
         params, config, input_ids, attention_mask, cache=cache,
         positions=positions, flash_prefill=flash_prefill, qbb=qbb,
-        use_flash=use_flash, remat=remat,
+        use_flash=use_flash, remat=remat, remat_policy=remat_policy,
     )
 
     head = params["codebook0_head"]

@@ -65,6 +65,9 @@ class TrainingArguments:
     # what fits full-context (2048-frame) CSM-1B fine-tuning in one chip's
     # 16 GB HBM; costs ~1 extra forward per step.  (HF's flag of the same
     # name defaults off; on TPU memory is the binding constraint.)
+    gradient_checkpointing_policy: str = "nothing"  # "nothing" = minimum
+    # memory (full per-layer recompute); "dots" keeps matmul outputs
+    # (~65 MB/layer/item at S=2048) and skips recomputing the projections.
     max_seq_length: int = 2048  # hard cap / fallback static frame bucket
     pad_to_multiple: int = 64  # length-bucket granularity: batches pad to the
     # next multiple instead of always paying the full max_seq_length
@@ -81,7 +84,12 @@ def parse_args(argv=None) -> Tuple[ModelArguments, DataArguments, TrainingArgume
         for f in dataclasses.fields(cls):
             name = "--" + f.name
             if f.type in ("bool", bool):
-                parser.add_argument(name, action="store_true", default=f.default)
+                # BooleanOptionalAction: default-True flags (e.g.
+                # gradient_checkpointing) stay disable-able via --no-<name>.
+                parser.add_argument(
+                    name, action=argparse.BooleanOptionalAction,
+                    default=f.default,
+                )
             else:
                 typ = {"int": int, "float": float}.get(str(f.type), str)
                 if f.type in (int, float, str):

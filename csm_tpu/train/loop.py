@@ -82,6 +82,7 @@ def make_train_step(
     compute_dtype=None,
     lora_cfg: Optional[dict] = None,
     remat: bool = True,
+    remat_policy: str = "nothing",
 ) -> Callable:
     """Build the jitted train step.
 
@@ -124,6 +125,7 @@ def make_train_step(
             # training fits in HBM.
             use_flash=True,
             remat=remat,
+            remat_policy=remat_policy,
         )
         return out.loss, {
             "backbone_loss": out.backbone_loss,
@@ -261,6 +263,8 @@ class CSMTrainer:
             config, optimizer, max_dec, compute_dtype=compute_dtype,
             lora_cfg=lora_cfg,
             remat=bool(getattr(args, "gradient_checkpointing", True)),
+            remat_policy=str(getattr(args, "gradient_checkpointing_policy",
+                                     "nothing")),
         )
 
         with self.mesh:

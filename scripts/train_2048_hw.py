@@ -35,6 +35,8 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--remat-policy", default="nothing",
+                    choices=("nothing", "dots"))
     ap.add_argument("--xla-attn", action="store_true")
     args = ap.parse_args()
 
@@ -62,7 +64,8 @@ def main():
     max_dec = S // 16 + 1
     step_fn = jax.jit(
         make_train_step(config, optimizer, max_dec,
-                        remat=not args.no_remat),
+                        remat=not args.no_remat,
+                        remat_policy=args.remat_policy),
         donate_argnums=(0,),
     )
     opt_state = jax.jit(optimizer.init)(params)
@@ -94,7 +97,8 @@ def main():
     from _bench_lib import record_check
 
     tag = (f"train_S{S}_{'xla' if args.xla_attn else 'flash'}"
-           f"{'_noremat' if args.no_remat else ''}")
+           f"{'_noremat' if args.no_remat else ''}"
+           f"{'_' + args.remat_policy if args.remat_policy != 'nothing' else ''}")
     t0 = time.time()
     try:
         state, metrics = step_fn(state, None, batch)

@@ -228,16 +228,21 @@ def test_remat_grads_match_no_remat():
     mask = np.zeros((1, 16, 33), np.float32)
     mask[..., 32] = 1
 
-    def loss(p, remat):
+    def loss(p, remat, policy="nothing"):
         return csm.forward(
             p, cfg, jnp.asarray(ids), jnp.asarray(mask),
             labels=jnp.asarray(ids), max_decoder_frames=4, remat=remat,
+            remat_policy=policy,
         ).loss
 
     g0 = jax.grad(lambda p: loss(p, False))(params)
     g1 = jax.grad(lambda p: loss(p, True))(params)
-    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+    g2 = jax.grad(lambda p: loss(p, True, "dots"))(params)
+    for a, b, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g1),
+                       jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-5, atol=1e-6)
 
 
