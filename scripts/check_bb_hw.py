@@ -166,8 +166,16 @@ def main():
           f"(XLA int8 path was ~1.57 ms at W=256)")
     from _bench_lib import record_check
 
+    # Kernel-level HBM utilization: the step must stream every int8 weight
+    # byte + read the KV window; v5e peak 819 GB/s.
+    wbytes = sum(x.nbytes for x in jax.tree.leaves(qsb))
+    kvbytes = int(cache.k.nbytes + cache.v.nbytes)
+    bw_util = (wbytes + kvbytes) / (per / 1e3) / 1e9 / 819.0
+    print(f"bb kernel HBM-bandwidth utilization: {100*bw_util:.1f}% "
+          f"({(wbytes+kvbytes)/2**30:.2f} GiB / {per:.2f} ms)")
     record_check(
         f"bb_kernel_B{B}_W{W}", ok, ms_per_step=float(per),
+        hbm_bw_util_pct=float(100 * bw_util),
         c0_logit_rel_vs_bf16=float(rel),
         greedy_match_emulator=f"{m_emu}/{rows}",
         greedy_match_bf16=f"{m_bf16}/{rows}",
