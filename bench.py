@@ -19,11 +19,11 @@ auditable:
    aggregate frames/s.
 3. ``csm1b_first_frame_latency_ms`` — p50 prefill(64 frames)+first-frame
    latency; ``vs_baseline`` is the reference's 130 ms over ours.
-4. ``csm1b_quant_greedy_token_agreement_pct`` — the quantization-fidelity
-   artifact: greedy token agreement between the pure-XLA bf16 path and the
-   quantized streamed path over the same ``--frames``-frame utterance
-   (same prompt/seed), plus the first diverging frame.  This quantifies
-   the numerics asterisk on the kernel speedups.
+4. ``csm1b_quant_teacher_forced_token_agreement_pct`` — the
+   quantization-fidelity artifact: TEACHER-FORCED greedy decision
+   agreement between the pure-XLA bf16 path and the quantized kernels
+   over the same reference context (per-frame c0 + 32-token frame).
+   This quantifies the numerics asterisk on the kernel speedups.
 5. ``csm1b_decode_hbm_bw_util_pct`` — decode-step HBM bandwidth
    utilization: bytes the per-frame step must move (int8 weight bundles +
    KV window) over measured frame time, against v5e's 819 GB/s peak.
@@ -306,13 +306,18 @@ def main():
         )
 
     # 6. prefill MFU: first-frame latency minus one decode frame ≈ prefill
-    # time; model FLOPs = 2·N·S matmuls + causal attention.
+    # time; model FLOPs = 2·N·S over the BACKBONE matmul params only (the
+    # decoder runs one frame, not S; the c0 head applies to one position).
     if on_tpu and p50 is not None:
         t_prefill = max(p50 - frame_ms, 1e-3) / 1000.0
         bb = config.backbone
+        bb_mm = sum(
+            int(np.prod(x.shape))
+            for x in jax.tree.leaves(params["backbone"]["layers"])
+        )
         attn_fwd = 2 * 2 * S * S * bb.num_attention_heads * bb.head_dim * \
             bb.num_hidden_layers / 2  # causal half-square, qk + pv
-        flops = 2.0 * n_mm_params * S + attn_fwd
+        flops = 2.0 * bb_mm * S + attn_fwd
         mfu = 100.0 * flops / t_prefill / (V5E_BF16_TFLOPS * 1e12)
         # NOTE: at the README recipe's 64-frame prompt the prefill is
         # dispatch/launch-bound (~140 GFLOP in ~30 ms) — this is a latency
@@ -332,21 +337,13 @@ def main():
             make_train_step(config, opt, St // 16 + 1, remat=True),
             donate_argnums=(0,),
         )
-        tr = np.random.default_rng(1)
-        ids = np.zeros((1, 1, St, 33), np.int32)
-        mask = np.zeros((1, 1, St, 33), np.float32)
-        labels = np.full((1, 1, St, 33), -100, np.int32)
-        ids[..., :64, 32] = tr.integers(1, config.text_vocab_size, (1, 1, 64))
-        mask[..., :64, 32] = 1
-        ids[..., 64:, :32] = tr.integers(1, config.audio_vocab_size,
-                                         (1, 1, St - 64, 32))
-        mask[..., 64:, :32] = 1
-        labels[..., 64:, 0] = ids[..., 64:, 0]
-        for a in tr.choice(St - 64, size=(St - 64) // 16, replace=False):
-            labels[..., 64 + a, :32] = ids[..., 64 + a, :32]
-        batch = {"input_ids": jnp.asarray(ids),
-                 "attention_mask": jnp.asarray(mask),
-                 "labels": jnp.asarray(labels)}
+        from csm_tpu.utils.synthetic import synthetic_conversation_batch
+
+        batch = {
+            k: jnp.asarray(v) for k, v in synthetic_conversation_batch(
+                config, St, seed=1
+            ).items()
+        }
         state = TrainState(params=params, opt_state=jax.jit(opt.init)(params),
                            step=jnp.int32(0))
         t0 = time.time()

@@ -40,7 +40,19 @@ shape-cast lanes into sublanes, so the kernels exchange LSE/delta as
 (``row = i*g*bq + gi*bq + qi``), values replicated across the 128-lane
 minor axis (the layout JAX's own TPU flash kernel uses for ``l``/``m``).
 The saved residual is the lane-0 slice (compact, ``[B, nkv, g*S]``); the
-backward re-broadcasts it.
+backward re-broadcasts it.  The primal (non-grad) forward runs an
+LSE-less kernel variant — Pallas outputs can't be DCE'd, and the
+replicated LSE write would cost ~4× the attention output's own HBM bytes
+on every inference call.
+
+Dead rows (queries whose every key is masked — left padding): the forward
+emits uniform attention over the visited keys (finite, garbage-by-contract,
+masked out downstream); the backward zeroes their q/k/v gradients exactly.
+This deliberately differs from the XLA path's dv (which spreads the dead
+row's cotangent uniformly) — the training loss gives such rows zero
+cotangent, where both paths agree; with a nonzero cotangent XLA's value is
+equally arbitrary and count-inflation (see the dq kernel comment) would be
+worse than zero.
 """
 
 from __future__ import annotations
@@ -89,18 +101,19 @@ def _flash_kernel(
     k_ref,      # [1, 1, bk, hd]
     v_ref,      # [1, 1, bk, hd]
     o_ref,      # [1, g, bq, hd]
-    lse_ref,    # [1, 1, g*bq, 128] f32 log-sum-exp (for the backward)
-    m_scr,      # [g*bq, 128] f32 running max
-    l_scr,      # [g*bq, 128] f32 running denominator
-    acc_scr,    # [g*bq, hd] f32 output accumulator
-    *,
+    *rest,      # [lse_ref [1,1,g*bq,128] if with_lse,] m_scr, l_scr, acc_scr
     scale: float,
     g: int,
     bq: int,
     bk: int,
     n_kb: int,
     causal: bool,
+    with_lse: bool,
 ):
+    if with_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     i = pl.program_id(2)
     j = pl.program_id(3)
     j_last = _j_last(i, bq, bk, n_kb, causal)
@@ -149,8 +162,12 @@ def _flash_kernel(
         l_safe = jnp.where(l > 0.0, l, 1.0)
         o = acc_scr[:] / l_safe
         o_ref[0] = o.reshape(g, bq, o_ref.shape[-1]).astype(o_ref.dtype)
-        lse = m_scr[:, :1] + jnp.log(l_safe)  # [g*bq, 1]
-        lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+        if with_lse:
+            # Dead rows (m == NEG_INF): fp32 at 1e9 has ulp 64, so
+            # m + log(l) rounds back to exactly NEG_INF — the backward
+            # detects `lse <= NEG_INF/2` and zeroes those rows' grads.
+            lse = m_scr[:, :1] + jnp.log(l_safe)  # [g*bq, 1]
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def _flash_fwd_call(
@@ -162,8 +179,15 @@ def _flash_fwd_call(
     block_q: int,
     block_k: int,
     interpret: bool,
+    with_lse: bool = False,
 ):
-    """Run the forward kernel; returns ``(out [B,S,nq,hd], lse5d)``."""
+    """Run the forward kernel.
+
+    Returns ``(out [B,S,nq,hd], lse [B,nkv,g*S] | None)``.  The LSE output
+    (needed only by the backward) is omitted from the primal kernel —
+    Pallas outputs can't be DCE'd by XLA, and the lane-replicated LSE
+    write would cost ~4× the attention output's own HBM bytes on every
+    inference/eval call."""
     B, S, nq, hd = q.shape
     T, nkv = k.shape[1], k.shape[2]
     assert S % block_q == 0 and T % block_k == 0, (S, T, block_q, block_k)
@@ -185,7 +209,7 @@ def _flash_fwd_call(
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, g=g, bq=block_q, bk=block_k, n_kb=n_kb,
-        causal=causal,
+        causal=causal, with_lse=with_lse,
     )
 
     def jc(i, j):
@@ -194,32 +218,38 @@ def _flash_fwd_call(
         return jnp.minimum(j, _j_last(i, block_q, block_k, n_kb, causal))
 
     grid = (B, nkv, n_qb, n_kb)
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, jc(i, j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, hd),
-                         lambda b, h, i, j: (b, h, jc(i, j), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, hd),
-                         lambda b, h, i, j: (b, h, jc(i, j), 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
+    in_specs = [
+        pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, jc(i, j)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, hd),
+                     lambda b, h, i, j: (b, h, jc(i, j), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, hd),
+                     lambda b, h, i, j: (b, h, jc(i, j), 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((B, nq, S, hd), q.dtype)]
+    if with_lse:
+        out_specs.append(
             pl.BlockSpec((1, 1, g * block_q, 128),
                          lambda b, h, i, j: (b, h, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, nq, S, hd), q.dtype),
-            jax.ShapeDtypeStruct((B, nkv, g * S, 128), jnp.float32),
-        ],
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, nkv, g * S, 128), jnp.float32)
+        )
+    res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((g * block_q, 128), jnp.float32),
             pltpu.VMEM((g * block_q, 128), jnp.float32),
@@ -227,9 +257,12 @@ def _flash_fwd_call(
         ],
         interpret=interpret,
     )(valid3, qt, kt, vt)
-    # Compact the lane-replicated LSE for the residual (the backward
-    # re-broadcasts; 128× less residual memory when remat is off).
-    return out.transpose(0, 2, 1, 3), lse[..., 0]
+    if with_lse:
+        out, lse = res
+        # Compact the lane-replicated LSE for the residual (the backward
+        # re-broadcasts; 128× less residual memory when remat is off).
+        return out.transpose(0, 2, 1, 3), lse[..., 0]
+    return res[0].transpose(0, 2, 1, 3), None
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +311,12 @@ def _flash_bwd_dq_kernel(
         ) * scale
         ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal)
         s = jnp.where(ok, s, NEG_INF)
-        p = jnp.exp(s - lse)  # [g*bq, bk]; 0 at masked entries, 1/T at dead rows
+        # Dead rows (every key masked → lse ≈ NEG_INF): exp(s − lse) would
+        # be 1 per visited key, count-inflating their grads (fp32 rounding
+        # at 1e9 destroys the log-count term).  Zero them instead — their
+        # forward output is garbage-by-contract and the training loss
+        # gives them zero cotangent; this just makes the zero exact.
+        p = jnp.where(lse <= NEG_INF / 2, 0.0, jnp.exp(s - lse))
 
         dp = jax.lax.dot_general(  # dO · Vᵀ
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -339,7 +377,8 @@ def _flash_bwd_dkv_kernel(
         ) * scale
         ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal)
         s = jnp.where(ok, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        # Dead-row zeroing — see the dq kernel for the rationale.
+        p = jnp.where(lse <= NEG_INF / 2, 0.0, jnp.exp(s - lse))
 
         # dV = Pᵀ · dO — the GQA group's g heads fold into the row axis, so
         # one dot also performs the sum over the group.
@@ -489,13 +528,13 @@ def _flash_bwd_call(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash(q, k, v, key_valid, causal, block_q, block_k, interpret):
     out, _ = _flash_fwd_call(q, k, v, key_valid, causal, block_q, block_k,
-                             interpret)
+                             interpret, with_lse=False)
     return out
 
 
 def _flash_vjp_fwd(q, k, v, key_valid, causal, block_q, block_k, interpret):
     out, lse = _flash_fwd_call(q, k, v, key_valid, causal, block_q, block_k,
-                               interpret)
+                               interpret, with_lse=True)
     return out, (q, k, v, key_valid, out, lse)
 
 

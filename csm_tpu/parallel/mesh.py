@@ -168,11 +168,19 @@ def put_global_batch(batch: dict, sharding: NamedSharding) -> dict:
     holds the FULL global batch on host (the data pipeline is deterministic
     by item index, so all processes materialize the same arrays) and
     ``jax.make_array_from_process_local_data`` carves out the rows this
-    process's devices own — no cross-host data movement.
+    process's devices own — no cross-host data movement.  ``global_shape``
+    must be passed explicitly: without it the helper treats the local array
+    as this process's SHARD and concatenates P duplicated copies into a
+    P×-larger global batch (silent data duplication).
     """
     if jax.process_count() == 1:
         return {k: jax.device_put(jax.numpy.asarray(v), sharding) for k, v in batch.items()}
-    return {
-        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
-        for k, v in batch.items()
-    }
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        arr = jax.make_array_from_process_local_data(
+            sharding, v, global_shape=v.shape
+        )
+        assert arr.shape == v.shape, (arr.shape, v.shape)
+        out[k] = arr
+    return out

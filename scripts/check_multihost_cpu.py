@@ -73,6 +73,16 @@ with mesh:
         {"input_ids": ids, "attention_mask": mask, "labels": labels},
         NamedSharding(mesh, P(None, "data")),
     )
+    # The global batch must keep the HOST batch's shape — a
+    # make_array_from_process_local_data call without global_shape would
+    # silently concatenate P duplicated copies (P× batch, every example
+    # seen P times); and each local shard must hold exactly the data-axis
+    # rows this process's devices own.
+    g = batch["input_ids"]
+    assert g.shape == ids.shape, f"global batch {g.shape} != host {ids.shape}"
+    for shard in g.addressable_shards:
+        want = ids[shard.index]
+        np.testing.assert_array_equal(np.asarray(shard.data), want)
     state, metrics = step(state, None, batch)
 print(f"RESULT {jax.process_index()} loss={float(metrics['loss']):.6f}")
 """

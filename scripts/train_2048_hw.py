@@ -71,27 +71,14 @@ def main():
     opt_state = jax.jit(optimizer.init)(params)
     state = TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
 
-    # Synthetic full-length conversation: text frames then audio frames,
-    # labels amortized 1/16 like the processor output.
-    rng = np.random.default_rng(0)
-    ids = np.zeros((args.accum, 1, S, 33), np.int32)
-    mask = np.zeros((args.accum, 1, S, 33), np.float32)
-    labels = np.full((args.accum, 1, S, 33), -100, np.int32)
-    n_text = 64
-    ids[..., :n_text, 32] = rng.integers(1, config.text_vocab_size,
-                                         (args.accum, 1, n_text))
-    mask[..., :n_text, 32] = 1
-    ids[..., n_text:, :32] = rng.integers(
-        1, config.audio_vocab_size, (args.accum, 1, S - n_text, 32))
-    mask[..., n_text:, :32] = 1
-    labels[..., n_text:, 0] = ids[..., n_text:, 0]
-    amort = rng.choice(S - n_text, size=(S - n_text) // 16, replace=False)
-    for a in amort:
-        labels[..., n_text + a, :32] = ids[..., n_text + a, :32]
+    # Synthetic full-length conversation — the SAME recipe bench.py's train
+    # section measures (csm_tpu/utils/synthetic.py).
+    from csm_tpu.utils.synthetic import synthetic_conversation_batch
+
     batch = {
-        "input_ids": jnp.asarray(ids),
-        "attention_mask": jnp.asarray(mask),
-        "labels": jnp.asarray(labels),
+        k: jnp.asarray(v) for k, v in synthetic_conversation_batch(
+            config, S, accum=args.accum, seed=0
+        ).items()
     }
 
     from _bench_lib import record_check

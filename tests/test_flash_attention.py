@@ -176,6 +176,53 @@ def test_flash_vjp_matches_xla_grads():
         )
 
 
+def test_flash_vjp_dead_rows_zero_grads():
+    """Fully-masked query rows with a NONZERO cotangent must contribute
+    exactly zero to dq/dk/dv (not count-inflated values — the fp32 LSE at
+    −1e9 loses the log-count term, so exp(s−lse) would be 1 per visited
+    key without the dead-row guard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.models import llama
+    from csm_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(9)
+    B, S, nq, nkv, hd = 1, 32, 2, 1, 16
+    q = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    key_valid = np.ones((B, S), np.int32)
+    key_valid[0, :16] = 0  # rows 0..15 are dead (no visible keys, causal)
+    kv = jnp.asarray(key_valid)
+    w = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)  # ≠0 everywhere
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, kv, causal=True, block_q=8,
+                              block_k=8, interpret=True)
+        return jnp.sum(out * w)
+
+    gq, gk, gv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    assert all(np.isfinite(np.asarray(g)).all() for g in (gq, gk, gv))
+    # dead query rows: zero dq
+    np.testing.assert_array_equal(np.asarray(gq)[0, :16], 0.0)
+    # dk/dv must equal the XLA grads computed with the dead rows' cotangent
+    # zeroed — i.e. dead rows contribute nothing (XLA would instead spread
+    # their cotangent uniformly into dv; both values are garbage, ours is 0).
+    w_masked = w * jnp.asarray(key_valid, jnp.float32)[:, :, None, None]
+
+    def loss_xla(q, k, v):
+        bias = llama.make_causal_bias(kv.astype(bool), S)
+        out = llama._attention(q, k, v, bias).reshape(B, S, nq, hd)
+        return jnp.sum(out * w_masked)
+
+    _, xk, xv = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(xk), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(xv), rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_flash_vjp_noncausal_full_window():
     """Backward also correct without causal masking (the i_first/j_last
     skipping degenerates to the full square)."""
