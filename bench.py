@@ -79,6 +79,7 @@ def main():
     ap.add_argument("--skip-first-frame", action="store_true")
     ap.add_argument("--skip-agreement", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-codec", action="store_true")
     ap.add_argument(
         "--impl", choices=("fused", "xla", "streamed"), default="streamed",
         help="single-stream decode path: 'streamed' (default) = fused "
@@ -288,6 +289,42 @@ def main():
             "csm1b_quant_teacher_forced_token_agreement_pct", tok_agree, "%",
             tok_agree / 100.0, frames=int(F - 1), c0_agreement_pct=c0_agree,
         )
+
+    # 4b. Mimi codec realtime factors (full published size, random-init
+    # weights — codec compute cost is weight-value-independent).  The
+    # reference runs its codec through torch CUDA (moshi Mimi,
+    # /root/reference/processor.py:284-287, README.md:114-118) and
+    # publishes no codec numbers; RTF > 1 means the codec is never the
+    # pipeline bottleneck.  vs_baseline is the realtime line (1.0).
+    if on_tpu and not args.skip_codec:
+        print("mimi codec RTF (full size)...", file=sys.stderr)
+        from csm_tpu.codec import MimiCodecConfig, random_mimi_params
+        from csm_tpu.codec.mimi import mimi_decode, mimi_encode
+
+        ccfg = MimiCodecConfig()
+        audio_s = args.frames / ccfg.frame_rate
+        # host init + device_put (jit would inline weights as HLO constants)
+        cparams = jax.device_put(random_mimi_params(ccfg, seed=0))
+        codes = jnp.asarray(
+            rng.integers(0, ccfg.codebook_size,
+                         (1, ccfg.num_quantizers, args.frames)), jnp.int32)
+        wave = jnp.asarray(
+            0.1 * rng.standard_normal((1, 1, int(audio_s * ccfg.sampling_rate))),
+            jnp.float32)
+        cdec = jax.jit(lambda p, c: mimi_decode(ccfg, p, c))
+        cenc = jax.jit(lambda p, w: mimi_encode(ccfg, p, w))
+        for name, fn, arg in (("decode", cdec, codes), ("encode", cenc, wave)):
+            np.asarray(fn(cparams, arg))  # compile
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.time()
+                np.asarray(fn(cparams, arg))
+                ts.append(time.time() - t0)
+            med_c = sorted(ts)[len(ts) // 2]
+            rtf = audio_s / med_c
+            _emit(f"csm1b_mimi_{name}_rtf", rtf, "x_realtime", rtf,
+                  reps=args.reps,
+                  spread_pct=100.0 * (max(ts) - min(ts)) / med_c)
 
     # 5. decode-step HBM bandwidth utilization: every frame must re-stream
     # the weight bundles and read the KV window — divide by measured frame

@@ -9,7 +9,7 @@ decoder mirrors it with a transposed-conv upsample.  CSM touch points:
 ``processor.py:284-287`` (encode) and ``README.md:114-115`` (decode).
 """
 
-from csm_tpu.codec.convert import mimi_params_from_state_dict
+from csm_tpu.codec.convert import mimi_params_from_state_dict, random_mimi_params
 from csm_tpu.codec.mimi import MimiCodec, MimiCodecConfig, load_mimi
 
 __all__ = [
@@ -17,4 +17,5 @@ __all__ = [
     "MimiCodecConfig",
     "load_mimi",
     "mimi_params_from_state_dict",
+    "random_mimi_params",
 ]

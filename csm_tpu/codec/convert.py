@@ -19,7 +19,13 @@ from typing import Mapping
 import jax.numpy as jnp
 import numpy as np
 
-from csm_tpu.codec.mimi import MimiCodecConfig, decoder_plan, encoder_plan
+from csm_tpu.codec.mimi import (
+    MimiCodecConfig,
+    decoder_plan,
+    downsample_spec,
+    encoder_plan,
+    upsample_spec,
+)
 
 
 def _np(x) -> np.ndarray:
@@ -101,6 +107,97 @@ def _convert_rvq(sd: Mapping, prefix: str, n_quantizers: int, dtype, eps=1e-5) -
         # 1×1 convs [out, in, 1] → input-major matrices [in, out]
         "input_proj": jnp.asarray(_np(sd[f"{prefix}.input_proj.weight"])[:, :, 0].T, dtype),
         "output_proj": jnp.asarray(_np(sd[f"{prefix}.output_proj.weight"])[:, :, 0].T, dtype),
+    }
+
+
+def random_mimi_params(
+    cfg: MimiCodecConfig, seed: int = 0, dtype=jnp.float32
+) -> dict:
+    """Random-init Mimi parameter pytree, shape-identical to the output of
+    :func:`mimi_params_from_state_dict`.
+
+    Used by the codec benchmarks (``bench.py`` / ``scripts/check_codec_hw.py``)
+    to measure full-published-size encode/decode cost on the chip without the
+    HF torch model: codec compute time is weight-value-independent, so random
+    weights give the true performance numbers even before real
+    ``kyutai/mimi`` weights are reachable (``/root/reference/train.py:363-366``
+    loads them from the hub).  Layer-scale / norm parameters get their real
+    init values so activations stay finite.
+    """
+    rng = np.random.default_rng(seed)
+
+    def t(*shape, scale=0.02):
+        return jnp.asarray(rng.standard_normal(shape) * scale, dtype)
+
+    def seanet(plan):
+        out = []
+        for item in plan:
+            kind = item[0]
+            if kind == "elu":
+                out.append({})
+            elif kind == "conv":
+                s = item[1]
+                if s.transposed:  # torch ConvTranspose layout [in, out/g, k]
+                    w = t(s.in_ch, s.out_ch // s.groups, s.kernel)
+                else:  # torch Conv (OIH) layout [out, in/g, k]
+                    w = t(s.out_ch, s.in_ch // s.groups, s.kernel)
+                p = {"w": w}
+                if s.bias:
+                    p["b"] = t(s.out_ch)
+                out.append(p)
+            else:  # resnet: two grouped=1 convs
+                out.append({
+                    "block": [
+                        {"w": t(s.out_ch, s.in_ch, s.kernel), "b": t(s.out_ch)}
+                        for s in item[1]
+                    ]
+                })
+        return out
+
+    L, H, I = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def transformer():
+        return {
+            "layers": {
+                "ln1_w": jnp.ones((L, H), dtype),
+                "ln1_b": t(L, H),
+                "wq": t(L, H, nh * hd),
+                "wk": t(L, H, nkv * hd),
+                "wv": t(L, H, nkv * hd),
+                "wo": t(L, nh * hd, H),
+                "scale_attn": jnp.full(
+                    (L, H), cfg.layer_scale_initial_scale, dtype
+                ),
+                "ln2_w": jnp.ones((L, H), dtype),
+                "ln2_b": t(L, H),
+                "fc1": t(L, H, I),
+                "fc2": t(L, I, H),
+                "scale_mlp": jnp.full(
+                    (L, H), cfg.layer_scale_initial_scale, dtype
+                ),
+            }
+        }
+
+    def rvq(n):
+        return {
+            "codebooks": t(n, cfg.codebook_size, cfg.codebook_dim, scale=1.0),
+            "input_proj": t(H, cfg.codebook_dim),
+            "output_proj": t(cfg.codebook_dim, H),
+        }
+
+    ds, us = downsample_spec(cfg), upsample_spec(cfg)
+    return {
+        "encoder": seanet(encoder_plan(cfg)),
+        "encoder_transformer": transformer(),
+        "downsample": {"w": t(ds.out_ch, ds.in_ch, ds.kernel)},
+        "quantizer": {
+            "semantic": rvq(cfg.num_semantic_quantizers),
+            "acoustic": rvq(cfg.num_quantizers - cfg.num_semantic_quantizers),
+        },
+        "upsample": {"w": t(us.in_ch, us.out_ch // us.groups, us.kernel)},
+        "decoder_transformer": transformer(),
+        "decoder": seanet(decoder_plan(cfg)),
     }
 
 

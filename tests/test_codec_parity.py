@@ -188,3 +188,28 @@ def test_frame_rate_math(mimi_pair):
     codec = MimiCodec(cfg, params)
     codes = codec.encode(_wave(960 * 8, seed=13)[0])
     assert codes.shape[1] == 4  # 8 encoder steps → ÷2 → 4 frames
+
+
+def test_random_params_shape_identical(mimi_pair):
+    """``random_mimi_params`` must be pytree-shape-identical to the converted
+    HF state dict — it stands in for real weights in the codec benchmarks
+    (``bench.py`` codec RTF lines), so a shape drift would silently bench a
+    different model."""
+    import jax
+
+    from csm_tpu.codec import random_mimi_params
+
+    cfg, _, converted = mimi_pair
+    rand = random_mimi_params(cfg, seed=3)
+
+    conv_shapes = jax.tree.map(lambda x: tuple(x.shape), converted)
+    rand_shapes = jax.tree.map(lambda x: tuple(x.shape), rand)
+    assert conv_shapes == rand_shapes
+
+    # And it must actually run: encode → decode round trip on the tiny config.
+    codec = MimiCodec(cfg, rand)
+    wave = _wave(960 * 4, seed=17)[0]
+    codes = codec.encode(wave)
+    assert codes.shape == (cfg.num_quantizers, 2)
+    out = codec.decode(codes)
+    assert np.isfinite(out).all()
