@@ -4,6 +4,9 @@ Axes:
 - ``data``: batch-dimension data parallelism (the reference-equivalent
   capability — HF Trainer DDP, ``train.py:414-425``); gradients all-reduce
   over this axis, compiled by XLA.
+- ``seq``: sequence parallelism — the training batch's frame dimension is
+  sharded so per-device activation memory scales by ``1/seq`` (attention
+  K/V all-gathers inserted by XLA's SPMD partitioner).
 - ``model``: Megatron-style tensor parallelism — attention projections are
   sharded on the head dimension, the gated MLP on the FFN dimension, and the
   classification heads on the vocab dimension.
@@ -58,26 +61,36 @@ def maybe_init_distributed() -> bool:
 
 
 def make_mesh(
-    data: Optional[int] = None, model: int = 1, devices=None
+    data: Optional[int] = None, model: int = 1, seq: int = 1, devices=None
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh.  ``data`` defaults to
-    ``len(devices) // model``.
+    """Build a ``(data, seq, model)`` mesh.  ``data`` defaults to
+    ``len(devices) // (seq * model)``.
+
+    ``seq`` is the sequence-parallel axis: the training batch's frame
+    dimension is sharded over it (``CSMTrainer`` / ``make_train_step``),
+    splitting per-device activation memory by ``seq`` — the lever for
+    pushing past the single-chip context ceiling the reference caps at
+    2048 frames (``/root/reference/modeling_csm.py:67``).  XLA's SPMD
+    partitioner inserts the attention K/V all-gathers; ``seq == 1``
+    (default) compiles the identical program as the old 2-axis mesh.
 
     ``jax.devices()`` orders devices process-major, so the reshape keeps
-    the ``model`` axis inside each process (ICI) and spreads ``data``
-    across processes (DCN) whenever ``model`` divides the per-process
-    device count — the right collective topology for multi-host DP
-    (:func:`maybe_init_distributed`).
+    the ``model`` (and ``seq``) axes inside each process (ICI) and spreads
+    ``data`` across processes (DCN) whenever ``seq * model`` divides the
+    per-process device count — the right collective topology for
+    multi-host DP (:func:`maybe_init_distributed`).
     """
     if devices is None:
         devices = jax.devices()
     if data is None:
-        data = len(devices) // model
-    n = data * model
+        data = len(devices) // (seq * model)
+    n = data * seq * model
     if n > len(devices):
-        raise ValueError(f"mesh {data}x{model} needs {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(data, model)
-    return Mesh(grid, ("data", "model"))
+        raise ValueError(
+            f"mesh {data}x{seq}x{model} needs {n} devices, have {len(devices)}"
+        )
+    grid = np.asarray(devices[:n]).reshape(data, seq, model)
+    return Mesh(grid, ("data", "seq", "model"))
 
 
 def _llama_rules() -> dict:

@@ -74,6 +74,9 @@ class TrainingArguments:
     # attention square (0 = always pad to max_seq_length)
     mesh_data: Optional[int] = None  # data-parallel axis size (default: all devices)
     mesh_model: int = 1  # tensor-parallel axis size
+    mesh_seq: int = 1  # sequence-parallel axis size: shards the frame axis of
+    # every microbatch (1/seq activation memory per device; attention rides
+    # the XLA path with partitioner-inserted K/V all-gathers)
 
 
 def parse_args(argv=None) -> Tuple[ModelArguments, DataArguments, TrainingArguments]:

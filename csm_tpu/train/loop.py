@@ -83,6 +83,7 @@ def make_train_step(
     lora_cfg: Optional[dict] = None,
     remat: bool = True,
     remat_policy: str = "nothing",
+    use_flash: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -122,8 +123,11 @@ def make_train_step(
             # The flash kernel carries a Pallas backward (custom_vjp) since
             # round 3 — gradients flow through it on eligible shapes; remat
             # recomputes each backbone layer in the backward so full-context
-            # training fits in HBM.
-            use_flash=True,
+            # training fits in HBM.  Sequence-parallel meshes pass
+            # use_flash=False: a pallas_call cannot be SPMD-partitioned over
+            # the sharded frame axis, so SP rides the XLA attention path
+            # (K/V all-gathers inserted by the partitioner).
+            use_flash=use_flash,
             remat=remat,
             remat_policy=remat_policy,
         )
@@ -195,8 +199,13 @@ class CSMTrainer:
         self.eval_dataset = eval_dataset
         self.data_collator = data_collator
         self.mesh = mesh if mesh is not None else make_mesh(
-            data=args.mesh_data, model=args.mesh_model
+            data=args.mesh_data, model=args.mesh_model,
+            seq=getattr(args, "mesh_seq", 1),
         )
+        # Sequence parallelism shards the frame axis of every microbatch;
+        # the flash kernel can't be SPMD-partitioned over that axis, so SP
+        # training routes attention through the XLA path.
+        self._seq = int(dict(self.mesh.shape).get("seq", 1))
 
         dp = int(self.mesh.shape["data"])
         self.global_batch = args.per_device_train_batch_size * dp
@@ -265,6 +274,7 @@ class CSMTrainer:
             remat=bool(getattr(args, "gradient_checkpointing", True)),
             remat_policy=str(getattr(args, "gradient_checkpointing_policy",
                                      "nothing")),
+            use_flash=self._seq == 1,
         )
 
         with self.mesh:
@@ -311,6 +321,7 @@ class CSMTrainer:
                     apply_lora(bp, tp, self.lora_alpha, self.lora_rank),
                     self.config, b["input_ids"], b["attention_mask"],
                     labels=b["labels"], max_decoder_frames=self._max_dec,
+                    use_flash=self._seq == 1,
                 ))
             )
         else:
@@ -318,6 +329,7 @@ class CSMTrainer:
                 lambda p, _bp, b: _eval_out(csm.forward(
                     p, self.config, b["input_ids"], b["attention_mask"],
                     labels=b["labels"], max_decoder_frames=self._max_dec,
+                    use_flash=self._seq == 1,
                 ))
             )
         self._metrics_log: list = []
@@ -393,8 +405,15 @@ class CSMTrainer:
     def train(self) -> Dict[str, float]:
         args = self.args
         sharding = batch_sharding(self.mesh)
-        # Microbatch axis replicated, batch axis data-sharded.
+        # Microbatch axis replicated, batch axis data-sharded, frame axis
+        # seq-sharded.  Frame counts the ``seq`` axis doesn't divide fall
+        # back to replicated frames per batch (length bucketing keeps
+        # bucket sizes divisible in practice).
         mb_sharding = NamedSharding(self.mesh, P(None, "data"))
+        mb_sharding_seq = (
+            NamedSharding(self.mesh, P(None, "data", "seq"))
+            if self._seq > 1 else mb_sharding
+        )
         logger.info(
             "training: %d steps (global batch %d × accum %d), mesh %s",
             self.total_steps, self.global_batch,
@@ -412,7 +431,11 @@ class CSMTrainer:
             for step, batch in enumerate(
                 self._batches(skip_items=start_step * need), start=start_step + 1
             ):
-                batch = put_global_batch(batch, mb_sharding)
+                s_len = batch["input_ids"].shape[2]
+                batch = put_global_batch(
+                    batch,
+                    mb_sharding_seq if s_len % self._seq == 0 else mb_sharding,
+                )
                 self.state, metrics = self._step_fn(self.state, self.base_params, batch)
                 if args.logging_steps and step % args.logging_steps == 0:
                     last = {k: float(v) for k, v in metrics.items()}

@@ -49,7 +49,7 @@ def trainer_setup():
 
 
 def _make_trainer(cfg, params, TrainingArguments, CSMTrainer, make_mesh, tmpdir,
-                  data=4, model=2, lr=5e-3, accum=2, epochs=4):
+                  data=4, model=2, seq=1, lr=5e-3, accum=2, epochs=4):
     args = TrainingArguments(
         output_dir=str(tmpdir),
         learning_rate=lr,
@@ -59,11 +59,12 @@ def _make_trainer(cfg, params, TrainingArguments, CSMTrainer, make_mesh, tmpdir,
         save_strategy="no",
         mesh_data=data,
         mesh_model=model,
+        mesh_seq=seq,
         seed=42,
     )
     ds = SyntheticDataset(cfg, n=4, seq=12, epochs=epochs)
     coll = CSMDataCollator(text_pad_token_id=0, pad_to_length=16)
-    mesh = make_mesh(data=data, model=model)
+    mesh = make_mesh(data=data, model=model, seq=seq)
     return CSMTrainer(cfg, params, args, ds, data_collator=coll, mesh=mesh)
 
 
@@ -89,6 +90,33 @@ def test_dp_only_mesh_matches_semantics(trainer_setup, tmp_path):
                             epochs=4)
     last = trainer.train()
     assert np.isfinite(last["loss"])
+
+
+def test_sequence_parallel_matches_dp(trainer_setup, tmp_path):
+    """A DP×SP×TP (2×2×2) mesh trains the same losses as a plain DP mesh:
+    sequence parallelism shards the frame axis of every microbatch and must
+    be semantically invisible (the partitioner inserts attention K/V
+    all-gathers; same math, different layout)."""
+    import jax
+
+    from csm_tpu.models import csm
+
+    cfg, _, TA, CT, mm = trainer_setup
+    runs = {}
+    for name, kw in (("dp", dict(data=2, model=1, seq=1)),
+                     ("dp_sp_tp", dict(data=2, model=2, seq=2))):
+        params = csm.init_params(jax.random.key(0), cfg)
+        trainer = _make_trainer(cfg, params, TA, CT, mm,
+                                tmp_path / name, epochs=4, **kw)
+        trainer.train()
+        runs[name] = trainer._metrics_log
+    assert len(runs["dp"]) == len(runs["dp_sp_tp"]) >= 2
+    for a, b in zip(runs["dp"], runs["dp_sp_tp"]):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=2e-4)
+        np.testing.assert_allclose(a["backbone_loss"], b["backbone_loss"],
+                                   rtol=2e-4)
+        np.testing.assert_allclose(a["decoder_loss"], b["decoder_loss"],
+                                   rtol=2e-3, atol=1e-5)
 
 
 def test_epoch_to_steps_rescheduling(trainer_setup, tmp_path):
