@@ -75,17 +75,29 @@ def main():
     print(f"encode: {enc_ms:.1f} ms for {audio_s:.1f}s → RTF {enc_rtf:.1f}x")
 
     # Streaming decode: one 80 ms frame per step with carried conv/KV state.
+    # Per-frame cost is measured by amortizing N steps inside ONE jitted
+    # lax.scan (the tunnel's ~30 ms dispatch would otherwise dominate);
+    # each step consumes a different frame of codes and threads the state,
+    # so XLA can neither hoist nor elide iterations.
     state = decode_state_init(cfg, batch=B)
-    step = jax.jit(lambda p, s, c: decode_step(cfg, p, s, c))
-    one = codes[:, :, :1]
+    n_it = F
 
-    def stream_once():
-        out, _ = step(params, state, one)
-        np.asarray(out)
+    @jax.jit
+    def stream_many(p, s, all_codes):  # all_codes [F, B, Q, 1]
+        def body(carry, c):
+            out, s2 = decode_step(cfg, p, carry, c)
+            return s2, jnp.sum(out)
+        s, sums = jax.lax.scan(body, s, all_codes)
+        return jnp.sum(sums)
 
-    stream_ms = timed(stream_once, reps=args.reps)
+    per_frame = codes.transpose(2, 0, 1)[:, :, :, None]  # [F, B, Q, 1]
+
+    def stream_run():
+        np.asarray(stream_many(params, state, per_frame))
+
+    stream_ms = timed(stream_run, reps=args.reps) / n_it
     print(f"streaming decode_step: {stream_ms:.2f} ms/frame "
-          f"(budget 80 ms) — includes one tunnel dispatch")
+          f"(scan-amortized over {n_it}; budget 80 ms)")
 
     ok = dec_rtf > 1.0 and enc_rtf > 1.0 and stream_ms < 80.0
     record_check(
