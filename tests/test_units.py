@@ -220,3 +220,17 @@ def test_warmup_generation_compiles():
         params, cfg, batch_sizes=(1,), prompt_buckets=(8,), frame_budgets=(2,),
     )
     assert n == 1
+
+
+def test_parse_args_mesh_flags():
+    """The argparse surface auto-generated from the dataclasses exposes the
+    mesh axes (reference CLI + our parallelism flags, SURVEY §2a#14)."""
+    from csm_tpu.train.args import parse_args
+
+    _, _, targs = parse_args([
+        "--train_file", "x.jsonl", "--output_dir", "/tmp/o",
+        "--mesh_data", "2", "--mesh_seq", "2", "--mesh_model", "2",
+        "--learning_rate", "1e-4",
+    ])
+    assert (targs.mesh_data, targs.mesh_seq, targs.mesh_model) == (2, 2, 2)
+    assert targs.learning_rate == 1e-4
