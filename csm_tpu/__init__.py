@@ -21,8 +21,9 @@ Public surface (mirrors the reference's API at
   backbone decode, top-k (Gumbel) sampling, stop-on-all-zeros.
 - :mod:`csm_tpu.data.processor` — ``CSMProcessor``: interleaved text+audio
   framing into ``[B, S, 33]`` with labels and decoder amortization.
-- :mod:`csm_tpu.train` — pjit DP×TP training loop (optax + orbax), LoRA
-  adapters (:mod:`csm_tpu.train.lora`).
+- :mod:`csm_tpu.train` — pjit DP×SP×TP training loop (optax + orbax; the
+  flash-attention VJP + remat fit full-context 1B fine-tuning on one
+  16 GB chip), LoRA adapters (:mod:`csm_tpu.train.lora`).
 - :mod:`csm_tpu.codec` — Mimi RVQ codec (encode/decode + exact streaming)
   in JAX.
 - :mod:`csm_tpu.checkpoint` — HF/torch state-dict ⇄ JAX pytree converters,
@@ -41,7 +42,7 @@ Public surface (mirrors the reference's API at
 
 from csm_tpu.config import CSMConfig, LlamaConfig
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "CSMConfig", "LlamaConfig", "CSMModel", "CSMServer", "CSMStreamer",

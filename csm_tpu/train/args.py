@@ -65,9 +65,11 @@ class TrainingArguments:
     # what fits full-context (2048-frame) CSM-1B fine-tuning in one chip's
     # 16 GB HBM; costs ~1 extra forward per step.  (HF's flag of the same
     # name defaults off; on TPU memory is the binding constraint.)
-    gradient_checkpointing_policy: str = "nothing"  # "nothing" = minimum
-    # memory (full per-layer recompute); "dots" keeps matmul outputs
-    # (~65 MB/layer/item at S=2048) and skips recomputing the projections.
+    gradient_checkpointing_policy: str = "auto"  # "auto" = "dots" when the
+    # microbatch is 1 (−9 % step time at 1B S=2048), else "nothing";
+    # "nothing" = minimum memory (full per-layer recompute); "dots" keeps
+    # matmul outputs (~65 MB/layer/item at S=2048) and skips recomputing
+    # the projections.
     max_seq_length: int = 2048  # hard cap / fallback static frame bucket
     pad_to_multiple: int = 64  # length-bucket granularity: batches pad to the
     # next multiple instead of always paying the full max_seq_length

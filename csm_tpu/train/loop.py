@@ -82,7 +82,7 @@ def make_train_step(
     compute_dtype=None,
     lora_cfg: Optional[dict] = None,
     remat: bool = True,
-    remat_policy: str = "nothing",
+    remat_policy: str = "auto",
     use_flash: bool = True,
 ) -> Callable:
     """Build the jitted train step.
@@ -113,6 +113,15 @@ def make_train_step(
                 else x,
                 params,
             )
+        # "auto" remat policy, resolved at trace time from the microbatch:
+        # "dots" (save matmul outputs, skip recomputing projections/MLP in
+        # the backward — measured −9 % step time at 1B S=2048) costs
+        # ~65 MB × layers × B of extra residency, so it is only a free win
+        # at microbatch 1; larger microbatches keep the save-nothing
+        # minimum-memory policy.
+        policy = remat_policy
+        if policy == "auto":
+            policy = "dots" if microbatch["input_ids"].shape[0] == 1 else "nothing"
         out = csm.forward(
             params,
             config,
@@ -129,7 +138,7 @@ def make_train_step(
             # (K/V all-gathers inserted by the partitioner).
             use_flash=use_flash,
             remat=remat,
-            remat_policy=remat_policy,
+            remat_policy=policy,
         )
         return out.loss, {
             "backbone_loss": out.backbone_loss,

@@ -35,8 +35,8 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--accum", type=int, default=1)
     ap.add_argument("--no-remat", action="store_true")
-    ap.add_argument("--remat-policy", default="nothing",
-                    choices=("nothing", "dots"))
+    ap.add_argument("--remat-policy", default="auto",
+                    choices=("auto", "nothing", "dots"))
     ap.add_argument("--xla-attn", action="store_true")
     args = ap.parse_args()
 
