@@ -80,6 +80,7 @@ def main():
     ap.add_argument("--skip-agreement", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-codec", action="store_true")
+    ap.add_argument("--skip-int4", action="store_true")
     ap.add_argument(
         "--impl", choices=("fused", "xla", "streamed"), default="streamed",
         help="single-stream decode path: 'streamed' (default) = fused "
@@ -148,26 +149,30 @@ def main():
         mask[..., -1] = 1.0
         return jnp.asarray(ids), jnp.asarray(mask)
 
-    def run(batch, max_new_frames, q, key, greedy=False, force_xla=False):
+    def run(batch, max_new_frames, q, key, greedy=False, force_xla=False,
+            qsb_override=None):
         ids, mask = prompt(batch)
+        use_qsb = qsb if qsb_override is None else qsb_override
         frames, n = generate_compiled(
             params, config, ids, mask, jnp.int32(S), key,
             max_new_frames=max_new_frames, temperature=1.0, topk=50,
             greedy=greedy, stop_on_all_zeros=False, stop_mode="stream",
             qdec=None if force_xla else q,
             qbb=qbb if (q is not None and not force_xla) else None,
-            qsb=qsb if (q is not None and batch <= 8 and not force_xla) else None,
+            qsb=use_qsb if (q is not None and batch <= 8 and not force_xla) else None,
         )
         return frames, int(np.asarray(n).sum())  # np.asarray = sync barrier
 
-    def timed(batch, max_new_frames, q, reps):
+    def timed(batch, max_new_frames, q, reps, qsb_override=None):
         t0 = time.time()
-        _, total = run(batch, max_new_frames, q, jax.random.key(1))
+        _, total = run(batch, max_new_frames, q, jax.random.key(1),
+                       qsb_override=qsb_override)
         print(f"  compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
         times = []
         for i in range(reps):
             t0 = time.time()
-            _, total = run(batch, max_new_frames, q, jax.random.key(2 + i))
+            _, total = run(batch, max_new_frames, q, jax.random.key(2 + i),
+                           qsb_override=qsb_override)
             times.append(time.time() - t0)
         med = sorted(times)[len(times) // 2]
         spread = 100.0 * (max(times) - min(times)) / med
@@ -180,6 +185,27 @@ def main():
     frame_ms = 1000.0 * med / max(total, 1)
     _emit("csm1b_frames_per_sec_single_stream", fps, "frames/s",
           fps / BASELINE_FPS, reps=args.reps, spread_pct=spread)
+
+    # 1b. single stream through the W4A16 int4 streamed-backbone kernel —
+    # an additional opt-in speed tier (csm_tpu.ops.bb_kernel bits=4): the
+    # backbone decode step's weight stream halves again (~0.49 GB,
+    # ~0.72 ms/step vs 1.34 int8 on the chip).  Weight-precision cost is
+    # real and only measurable on trained weights (random-init logits make
+    # every argmax a near-tie) — validate with scripts/fetch_and_verify.py
+    # before shipping audio through it.
+    if qsb is not None and not args.skip_int4:
+        print("single-stream (streamed int4)...", file=sys.stderr)
+        from csm_tpu.ops.bb_kernel import prepare_streamed_backbone as _psb
+
+        qsb4 = jax.jit(lambda p: _psb(p, config, bits=4))(params)
+        np.asarray(qsb4["final_norm"])
+        total4, med4, spread4 = timed(1, args.frames, qdec, args.reps,
+                                      qsb_override=qsb4)
+        fps4 = total4 / med4
+        _emit("csm1b_frames_per_sec_single_stream_int4", fps4, "frames/s",
+              fps4 / BASELINE_FPS, reps=args.reps, spread_pct=spread4,
+              note="W4A16 opt-in tier; fidelity must be validated on real "
+                   "weights (fetch_and_verify)")
 
     # 2. batched serving aggregate (fused kernel batches rows through the
     # same latency-bound serial matvecs — near-free aggregate scaling)

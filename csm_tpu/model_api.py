@@ -114,13 +114,17 @@ class CSMModel:
             temperature=temperature, topk=topk, rng=rng, greedy=greedy,
         )
 
-    def quantize(self) -> "CSMModel":
-        """Prepare the opt-in int8 fast paths once (fused decoder kernel,
-        W8A16 backbone, streamed-weight backbone kernel — see
+    def quantize(self, bits: int = 8) -> "CSMModel":
+        """Prepare the opt-in quantized fast paths once (fused decoder
+        kernel, W8A16 backbone, streamed-weight backbone kernel — see
         ``docs/ARCHITECTURE.md``); subsequent :meth:`generate` calls use
-        them automatically.  Single-chip TPU paths: call only when the
-        default backend is a TPU and generation runs un-meshed.  Returns
-        ``self`` for chaining."""
+        them automatically.  ``bits=4`` stores the streamed backbone
+        kernel's layer weights as W4A16 int4 with exact row equilibration —
+        roughly halves the backbone decode step again at a further (small)
+        weight-precision cost; the fused decoder and the c0 head stay
+        int8.  Single-chip TPU paths: call only when the default backend
+        is a TPU and generation runs un-meshed.  Returns ``self`` for
+        chaining."""
         from csm_tpu.ops.bb_kernel import prepare_streamed_backbone
         from csm_tpu.ops.fused_decoder import prepare_fused_decoder
         from csm_tpu.ops.quant import prepare_quantized_backbone
@@ -128,7 +132,9 @@ class CSMModel:
         cfg = self.config
         self._qdec = jax.jit(lambda p: prepare_fused_decoder(p, cfg))(self.params)
         self._qbb = jax.jit(lambda p: prepare_quantized_backbone(p, cfg))(self.params)
-        self._qsb = jax.jit(lambda p: prepare_streamed_backbone(p, cfg))(self.params)
+        self._qsb = jax.jit(
+            lambda p: prepare_streamed_backbone(p, cfg, bits=bits)
+        )(self.params)
         return self
 
     def generate(self, input_ids, attention_mask, max_new_frames: int = 100,

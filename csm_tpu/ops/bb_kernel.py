@@ -85,7 +85,62 @@ def _half_perm(H: int, hd: int) -> np.ndarray:
     return np.concatenate([first.reshape(-1), second.reshape(-1)])
 
 
-def prepare_streamed_backbone(params: dict, config: CSMConfig) -> dict:
+def pack_int4_rows(q: jnp.ndarray) -> jnp.ndarray:
+    """Pack int nibble values ``[-8, 7]`` of ``[..., K, N]`` into int8
+    bytes ``[..., K/2, N]``: byte row ``i`` = ``(q[2i+1] << 4) | (q[2i]
+    & 0xF)``.  This row-interleaved convention is EXACTLY the layout
+    ``pltpu.bitcast(·, int4)`` exposes on TPU (int4 vectors pack pairs
+    along sublanes), so the kernel reinterprets a DMA'd packed chunk as
+    int4 for free.  Packed int8 is also what crosses jit boundaries —
+    native s4 arrays trip a backend transfer bug on this stack.
+    """
+    lo = q[..., 0::2, :].astype(jnp.int32) & 0xF
+    hi = (q[..., 1::2, :].astype(jnp.int32) & 0xF) << 4
+    return jax.lax.bitcast_convert_type((lo | hi).astype(jnp.uint8), jnp.int8)
+
+
+def unpack_int4_rows(p: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`pack_int4_rows`: int8 ``[..., K/2, N]`` →
+    int8 ``[..., K, N]`` with nibbles sign-extended.  Plain-XLA arithmetic
+    (used by the emulator and the interpret-mode kernel); the compiled
+    kernel gets the same values from a ``pltpu.bitcast`` instead."""
+    b = jax.lax.bitcast_convert_type(p, jnp.uint8).astype(jnp.int32)
+    lo = b & 0xF
+    lo = lo - 16 * (lo >> 3)  # sign-extend the nibble
+    hi = b >> 4
+    hi = hi - 16 * (hi >> 3)
+    out = jnp.stack([lo, hi], axis=-2)  # [..., K/2, 2, N]
+    return out.reshape(*p.shape[:-2], 2 * p.shape[-2], p.shape[-1]).astype(
+        jnp.int8
+    )
+
+
+def quantize_int4_equilibrated(w: jnp.ndarray):
+    """Symmetric int4 quantization of ``[..., K, N]`` with exact per-row
+    equilibration: ``w ≈ diag(u) · unpack(q) · diag(s)`` with ``u`` per
+    input row and ``s`` per output column.
+
+    Because the activations stay bf16 (W4A16), ``u`` is a FREE parameter —
+    the caller folds it into the activations (``(x·u) @ q · s``), which is
+    exact algebra, not an approximation.  Dividing each row by its max
+    first removes the inter-row dynamic range from every column, so the
+    4-bit per-column grid only has to cover intra-column shape, not
+    magnitude — the standard weight-equilibration trick.
+
+    Returns ``(q_packed int8 [..., K/2, N]`` (see :func:`pack_int4_rows`),
+    ``s f32 [..., 1, N], u f32 [..., 1, K])``.
+    """
+    wf = w.astype(jnp.float32)
+    u = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)  # [..., K, 1]
+    u = jnp.where(u > 0, u, 1.0)
+    wn = wf / u
+    amax = jnp.max(jnp.abs(wn), axis=-2, keepdims=True)  # [..., 1, N]
+    s = jnp.where(amax > 0, amax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(wn / s), -7, 7).astype(jnp.int8)
+    return pack_int4_rows(q), s, jnp.swapaxes(u, -1, -2)
+
+
+def prepare_streamed_backbone(params: dict, config: CSMConfig, bits: int = 8) -> dict:
     """Quantize the backbone + c0 head for the streamed decode-step kernel.
 
     Norm folding as in :func:`..fused_decoder.prepare_fused_decoder`:
@@ -94,6 +149,17 @@ def prepare_streamed_backbone(params: dict, config: CSMConfig) -> dict:
     concatenation keeps each fused column's scale exact.  The Q and K
     output columns (and their scales) are permuted into rotary-half order
     (see module docstring) — an exact relabeling.
+
+    ``bits=4`` stores the four layer-matmul families as **int4** with
+    per-row equilibration scales (:func:`quantize_int4_equilibrated`)
+    applied through the kernel's activation prescales — halving the decode
+    step's dominant HBM traffic again (~0.97 GB → ~0.49 GB).  The fused
+    q/k/v (and gate/up) share one input vector, so their row scale ``u``
+    is computed over the CONCATENATED columns.  The c0 head stays int8
+    (its 4.5 MB is noise in the stream, and logit fidelity decides the
+    sampled token).  The returned bundle carries a ``"u"`` subtree; its
+    pytree STRUCTURE is what tells :func:`bb_decode_step` to build the
+    int4 kernel (a value leaf would be traced away under jit).
     """
     bcfg = config.backbone
     nq, nkv, hd = bcfg.num_attention_heads, bcfg.num_key_value_heads, bcfg.head_dim
@@ -101,27 +167,41 @@ def prepare_streamed_backbone(params: dict, config: CSMConfig) -> dict:
     attn_nw = bl["attn_norm"].astype(jnp.float32)[:, :, None]  # [L, D, 1]
     mlp_nw = bl["mlp_norm"].astype(jnp.float32)[:, :, None]
 
-    def quant(name, fold=None, perm=None):
+    def folded(name, fold=None, perm=None):
         w = bl[name].astype(jnp.float32)
         if fold is not None:
             w = w * fold
         if perm is not None:
             w = w[:, :, perm]
-        return quantize_per_channel(w)
+        return w
 
+    fam = {
+        "wqkv": jnp.concatenate(
+            [
+                folded("wq", attn_nw, _half_perm(nq, hd)),
+                folded("wk", attn_nw, _half_perm(nkv, hd)),
+                folded("wv", attn_nw),
+            ],
+            axis=-1,
+        ),
+        "w_gu": jnp.concatenate(
+            [folded("w_gate", mlp_nw), folded("w_up", mlp_nw)], axis=-1
+        ),
+        "wo": folded("wo"),
+        "w_down": folded("w_down"),
+    }
     out = {"w": {}, "s": {}}
-    qs = [
-        quant("wq", attn_nw, _half_perm(nq, hd)),
-        quant("wk", attn_nw, _half_perm(nkv, hd)),
-        quant("wv", attn_nw),
-    ]
-    out["w"]["wqkv"] = jnp.concatenate([q for q, _ in qs], axis=-1)
-    out["s"]["wqkv"] = jnp.concatenate([s for _, s in qs], axis=-1)
-    gs = [quant("w_gate", mlp_nw), quant("w_up", mlp_nw)]
-    out["w"]["w_gu"] = jnp.concatenate([q for q, _ in gs], axis=-1)
-    out["s"]["w_gu"] = jnp.concatenate([s for _, s in gs], axis=-1)
-    out["w"]["wo"], out["s"]["wo"] = quant("wo")
-    out["w"]["w_down"], out["s"]["w_down"] = quant("w_down")
+    if bits == 4:
+        out["u"] = {}
+        for name, w in fam.items():
+            out["w"][name], out["s"][name], out["u"][name] = (
+                quantize_int4_equilibrated(w)
+            )
+    elif bits == 8:
+        for name, w in fam.items():
+            out["w"][name], out["s"][name] = quantize_per_channel(w)
+    else:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
 
     Va = config.audio_vocab_size
     Va_pad = -(-Va // 128) * 128
@@ -353,8 +433,12 @@ def _layer_attention(
 # ---------------------------------------------------------------------------
 
 
-def _dims(config: CSMConfig):
-    """Chunking geometry shared by the kernel body, emulator, and caller."""
+def _dims(config: CSMConfig, int4: bool = False):
+    """Chunking geometry shared by the kernel body, emulator, and caller.
+
+    In int4 mode the int8 head does NOT ride the (int4) a-ring — it gets a
+    dedicated buffer — so ``a_cols`` excludes ``Va_pad``.
+    """
     bcfg = config.backbone
     D, F = bcfg.hidden_size, bcfg.intermediate_size
     nq, nkv, hd = bcfg.num_attention_heads, bcfg.num_key_value_heads, bcfg.head_dim
@@ -362,15 +446,17 @@ def _dims(config: CSMConfig):
     Va_pad = -(-config.audio_vocab_size // 128) * 128
     chunk_gu = CHUNK_N if 2 * F % CHUNK_N == 0 and 2 * F >= CHUNK_N else 2 * F
     chunk_dn = CHUNK_N if F % CHUNK_N == 0 and F >= CHUNK_N else F
+    a_cols = max(QKVN, D, chunk_gu) if int4 else max(QKVN, D, chunk_gu, Va_pad)
     return {
         "QKVN": QKVN, "Va_pad": Va_pad,
         "chunk_gu": chunk_gu, "n_gu": 2 * F // chunk_gu,
         "chunk_dn": chunk_dn, "n_dn": F // chunk_dn,
-        "a_cols": max(QKVN, D, chunk_gu, Va_pad),
+        "a_cols": a_cols,
     }
 
 
-def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
+def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int,
+                 int4: bool = False, interpret: bool = False):
     bcfg = config.backbone
     L = bcfg.num_hidden_layers
     D = bcfg.hidden_size
@@ -378,7 +464,7 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
     nq, nkv, hd = bcfg.num_attention_heads, bcfg.num_key_value_heads, bcfg.head_dim
     eps = bcfg.rms_norm_eps
     C = B * nkv
-    dims = _dims(config)
+    dims = _dims(config, int4)
     QKVN, Va_pad = dims["QKVN"], dims["Va_pad"]
     chunk_gu, n_gu = dims["chunk_gu"], dims["n_gu"]
     chunk_dn, n_dn = dims["chunk_dn"], dims["n_dn"]
@@ -389,27 +475,54 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
     # just vacated — the layer body is traced ONCE inside a fori_loop (the
     # fully unrolled version took Mosaic ~25 min to compile; this one is
     # ~16× smaller) and every refill is pure index math on the layer index.
+    # int4 mode: the rings hold int4 chunks (half the bytes per entry); the
+    # int8 head does NOT ride the a-ring — it streams once into a dedicated
+    # buffer whose DMA is issued at warm-up (needed last, so it always
+    # arrives in the shadow of the layer stream).
     epl = 2 + n_gu
 
-    def kernel(
-        h0_ref,  # VMEM (B, D) f32
-        cos_qf_ref, sin_qf_ref,  # VMEM (B, nq*hd) f32 — flat permuted tables
-        cos_kf_ref, sin_kf_ref,  # VMEM (B, nkv*hd) f32
-        bias_ref,  # VMEM (B, Wp) f32 (pre-padded by the caller)
-        fnw_ref,  # VMEM (1, D) f32
-        s_qkv, s_wo, s_gu, s_dn,  # VMEM f32 [L, 1, N]
-        s_head,  # VMEM f32 (1, Va_pad)
-        w_qkv, w_wo, w_gu, w_dn, w_head,  # ANY int8 (HBM)
-        k_hbm, v_hbm,  # ANY bf16 [L, B, W, nkv*hd]
-        nh_ref,  # out VMEM (B, D) f32
-        lg_ref,  # out VMEM (B, Va_pad) f32
-        nk_ref, nv_ref,  # out VMEM (L, B, nkv*hd) bf16
-        ring_a,  # scratch VMEM (depth, D, a_cols) int8
-        ring_b,  # scratch VMEM (depth, chunk_dn, D) int8
-        kbuf, vbuf,  # scratch VMEM (2, Wp, C*hd) bf16
-        sem_a, sem_b,  # DMA sems (depth,)
-        sem_kv,  # DMA sems (2, 2, B)
-    ):
+    def kernel(*refs):
+        (
+            h0_ref,  # VMEM (B, D) f32
+            cos_qf_ref, sin_qf_ref,  # VMEM (B, nq*hd) f32 — flat perm tables
+            cos_kf_ref, sin_kf_ref,  # VMEM (B, nkv*hd) f32
+            bias_ref,  # VMEM (B, Wp) f32 (pre-padded by the caller)
+            fnw_ref,  # VMEM (1, D) f32
+            s_qkv, s_wo, s_gu, s_dn,  # VMEM f32 [L, 1, N]
+            s_head,  # VMEM f32 (1, Va_pad)
+        ) = refs[:12]
+        i = 12
+        if int4:
+            u_qkv, u_wo, u_gu, u_dn = refs[i:i + 4]  # VMEM f32 [L, 1, K]
+            i += 4
+        (
+            w_qkv, w_wo, w_gu, w_dn, w_head,  # ANY int8/int4 (HBM)
+            k_hbm, v_hbm,  # ANY bf16 [L, B, W, nkv*hd]
+            nh_ref,  # out VMEM (B, D) f32
+            lg_ref,  # out VMEM (B, Va_pad) f32
+            nk_ref, nv_ref,  # out VMEM (L, B, nkv*hd) bf16
+            ring_a,  # scratch VMEM (depth, D, a_cols) int8/int4
+            ring_b,  # scratch VMEM (depth, chunk_dn, D) int8/int4
+            kbuf, vbuf,  # scratch VMEM (2, Wp, C*hd) bf16
+            sem_a, sem_b,  # DMA sems (depth,)
+            sem_kv,  # DMA sems (2, 2, B)
+        ) = refs[i:i + 18]
+        if int4:
+            head_buf, sem_h = refs[i + 18:]  # VMEM (D, Va_pad) int8
+
+        def ring_w(ring, slot, ncols):
+            """Consume a ring chunk as int8.  int4 mode: the chunk arrives
+            as row-PACKED int8 (two nibble rows per byte row); a bitcast
+            reinterprets it as the [2K, N] int4 vector TPU natively packs
+            along sublanes, and the sign-extending convert to int8 rides
+            the VPU far below the DMA rate.  Interpret mode has no Mosaic
+            bitcast — same values via arithmetic unpack."""
+            w = ring[slot][:, :ncols]
+            if not int4:
+                return w
+            if interpret:
+                return unpack_int4_rows(w)
+            return pltpu.bitcast(w, jnp.int4).astype(jnp.int8)
         def a_dma(l, j, slot):
             """Copy descriptor for a-ring entry (layer ``l``, kind ``j``);
             ``j`` is always static, ``l``/``slot`` may be traced."""
@@ -426,13 +539,18 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
             )
 
         def head_dma(slot):
+            if int4:
+                return pltpu.make_async_copy(w_head, head_buf, sem_h)
             return pltpu.make_async_copy(
                 w_head, ring_a.at[slot, :, pl.ds(0, Va_pad)], sem_a.at[slot]
             )
 
         def b_dma(l, r, slot):
+            # int4: HBM rows are packed 2-per-byte, so a chunk of chunk_dn
+            # weight rows occupies chunk_dn/2 byte rows.
+            rows = chunk_dn // 2 if int4 else chunk_dn
             return pltpu.make_async_copy(
-                w_dn.at[l, pl.ds(r * chunk_dn, chunk_dn), :],
+                w_dn.at[l, pl.ds(r * rows, rows), :],
                 ring_b.at[slot], sem_b.at[slot],
             )
 
@@ -461,9 +579,10 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
                 def _():
                     a_dma(l + off, 0, slot).start()
 
-                @pl.when(l + off == L)
-                def _():
-                    head_dma(slot).start()
+                if not int4:  # int4: the head has its own buffer + warm-up DMA
+                    @pl.when(l + off == L)
+                    def _():
+                        head_dma(slot).start()
             else:
                 @pl.when(l + off < L)
                 def _():
@@ -499,7 +618,9 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
 
         # --- warm-up: fill the rings and the first KV window ---------------
         kv_start(0, 0)
-        n_a, n_b = L * epl + 1, L * n_dn
+        if int4:
+            head_dma(0).start()  # dedicated buffer; consumed after the layers
+        n_a, n_b = L * epl + (0 if int4 else 1), L * n_dn
         for e in range(min(depth, n_a)):
             if e < L * epl:
                 a_dma(e // epl, e % epl, e % depth).start()
@@ -525,9 +646,10 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
 
             # -- attention ----------------------------------------------
             rs = _rms_scale(h, eps)
+            xq = h * u_qkv[l] if int4 else h  # exact equilibration fold
             slot = slot_a(l, 0)
             a_dma(l, 0, slot).wait()
-            qkv = _qdot(h.astype(jnp.bfloat16), ring_a[slot][:, :QKVN])
+            qkv = _qdot(xq.astype(jnp.bfloat16), ring_w(ring_a, slot, QKVN))
             issue_next_a(l, 0, slot)
             qkv = qkv * s_qkv[l] * rs
 
@@ -548,30 +670,36 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
             nk_ref[l] = k_new.astype(jnp.bfloat16)
             nv_ref[l] = v_new.astype(jnp.bfloat16)
 
+            xo = attn * u_wo[l] if int4 else attn
             slot = slot_a(l, 1)
             a_dma(l, 1, slot).wait()
-            wo_out = _qdot(attn.astype(jnp.bfloat16), ring_a[slot][:, :D])
+            wo_out = _qdot(xo.astype(jnp.bfloat16), ring_w(ring_a, slot, D))
             issue_next_a(l, 1, slot)
             h = h + wo_out * s_wo[l]
 
             # -- MLP ------------------------------------------------------
             rs = _rms_scale(h, eps)
-            h_bf = h.astype(jnp.bfloat16)
+            xg = h * u_gu[l] if int4 else h
+            h_bf = xg.astype(jnp.bfloat16)
             parts = []
             for c in range(n_gu):
                 slot = slot_a(l, 2 + c)
                 a_dma(l, 2 + c, slot).wait()
-                acc = _qdot(h_bf, ring_a[slot][:, :chunk_gu])
+                acc = _qdot(h_bf, ring_w(ring_a, slot, chunk_gu))
                 issue_next_a(l, 2 + c, slot)
                 parts.append(acc * s_gu[l][:, c * chunk_gu : (c + 1) * chunk_gu])
             gu = jnp.concatenate(parts, axis=1) * rs  # [B, 2F] f32
-            gated = (jax.nn.silu(gu[:, :F]) * gu[:, F:]).astype(jnp.bfloat16)
+            gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
+            if int4:
+                gated = gated * u_dn[l]
+            gated = gated.astype(jnp.bfloat16)
             dn_acc = jnp.zeros((B, D), jnp.float32)
             for r in range(n_dn):
                 slot = slot_b(l, r)
                 b_dma(l, r, slot).wait()
                 dn_acc = dn_acc + _qdot(
-                    gated[:, r * chunk_dn : (r + 1) * chunk_dn], ring_b[slot]
+                    gated[:, r * chunk_dn : (r + 1) * chunk_dn],
+                    ring_w(ring_b, slot, D),
                 )
                 issue_next_b(l, r, slot)
             return h + dn_acc * s_dn[l]
@@ -581,9 +709,13 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int):
         # -- final norm + c0 head ------------------------------------------
         rs_f = _rms_scale(h, eps)
         nh_ref[:] = h * rs_f * fnw_ref[0][None, :]
-        slot = (L * epl) % depth
-        head_dma(slot).wait()
-        logits = _qdot(h.astype(jnp.bfloat16), ring_a[slot][:, :Va_pad])
+        if int4:
+            head_dma(0).wait()
+            logits = _qdot(h.astype(jnp.bfloat16), head_buf[:])
+        else:
+            slot = (L * epl) % depth
+            head_dma(slot).wait()
+            logits = _qdot(h.astype(jnp.bfloat16), ring_a[slot][:, :Va_pad])
         # Round through bf16: the XLA path's c0 head matmul outputs bf16
         # (modeling parity for the downstream top-k filter).
         lg_ref[:] = (
@@ -621,13 +753,18 @@ def bb_decode_step(
     W = k_cache.shape[2]
     Wp = W + 8  # row W = new token; rows W+1.. masked padding
     C = B * nkv
+    # int4 (W4A16) bundle detection by pytree STRUCTURE: the "u"
+    # equilibration subtree only exists for bits=4 prepares.  Structure is
+    # static under jit, so the two modes compile to distinct programs.
+    int4 = "u" in qsb
 
     # Ring depth: deepest that fits VMEM (two rings + two KV window
     # buffers), capped at 4 — measured at 1B/B=1: depth 3 = 1.394 ms/step,
     # 4 = 1.324 (with 2048-col chunks), 6 = 1.367 (deeper is WORSE: more
     # outstanding DMAs contend).
-    dims = _dims(config)
-    ring_bytes = D * dims["a_cols"] + dims["chunk_dn"] * D
+    dims = _dims(config, int4)
+    w_elt = 0.5 if int4 else 1
+    ring_bytes = int((D * dims["a_cols"] + dims["chunk_dn"] * D) * w_elt)
     kv_bytes = 2 * 2 * Wp * C * hd * 2
     depth = 2
     for d in (4, 3):
@@ -649,7 +786,7 @@ def bb_decode_step(
         constant_values=NEG_INF,
     ).at[:, W].set(0.0)
 
-    kernel = _make_kernel(config, B, W, Wp, depth)
+    kernel = _make_kernel(config, B, W, Wp, depth, int4, interpret)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -661,20 +798,35 @@ def bb_decode_step(
     )
     vmem_limit = depth * ring_bytes + kv_bytes + Va_pad * D + 24 * 1024 * 1024
 
+    # int4 rings hold row-PACKED int8 bytes (half the rows) — see
+    # pack_int4_rows; the kernel bitcasts each chunk back to int4.
+    rdiv = 2 if int4 else 1
+    scratch = [
+        pltpu.VMEM((depth, D // rdiv, dims["a_cols"]), jnp.int8),
+        pltpu.VMEM((depth, dims["chunk_dn"] // rdiv, D), jnp.int8),
+        pltpu.VMEM((2, Wp, C * hd), jnp.bfloat16),
+        pltpu.VMEM((2, Wp, C * hd), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((depth,)),
+        pltpu.SemaphoreType.DMA((depth,)),
+        pltpu.SemaphoreType.DMA((2, 2, B)),
+    ]
+    u_args = ()
+    if int4:
+        scratch += [
+            pltpu.VMEM((D, Va_pad), jnp.int8),  # dedicated head buffer
+            pltpu.SemaphoreType.DMA,
+        ]
+        u_args = (
+            qsb["u"]["wqkv"], qsb["u"]["wo"], qsb["u"]["w_gu"],
+            qsb["u"]["w_down"],
+        )
+
     nh, lg, nk, nv = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[vm] * 12 + [anyspec] * 7,
+        in_specs=[vm] * (12 + len(u_args)) + [anyspec] * 7,
         out_specs=(vm, vm, vm, vm),
-        scratch_shapes=[
-            pltpu.VMEM((depth, D, dims["a_cols"]), jnp.int8),
-            pltpu.VMEM((depth, dims["chunk_dn"], D), jnp.int8),
-            pltpu.VMEM((2, Wp, C * hd), jnp.bfloat16),
-            pltpu.VMEM((2, Wp, C * hd), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((depth,)),
-            pltpu.SemaphoreType.DMA((depth,)),
-            pltpu.SemaphoreType.DMA((2, 2, B)),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(int(vmem_limit), 127 * 1024 * 1024),
         ),
@@ -686,6 +838,7 @@ def bb_decode_step(
         qsb["final_norm"].reshape(1, D),
         qsb["s"]["wqkv"], qsb["s"]["wo"], qsb["s"]["w_gu"], qsb["s"]["w_down"],
         qsb["s"]["head"],
+        *u_args,
         qsb["w"]["wqkv"], qsb["w"]["wo"], qsb["w"]["w_gu"], qsb["w"]["w_down"],
         qsb["w"]["head"],
         k_cache.reshape(L, B, W, nkv * hd).astype(jnp.bfloat16),
@@ -735,6 +888,12 @@ def emulate_bb_decode_step(
     k_cache = k_cache.reshape(L, B, W, nkv * hd).astype(jnp.bfloat16)
     v_cache = v_cache.reshape(L, B, W, nkv * hd).astype(jnp.bfloat16)
 
+    int4 = "u" in qsb
+
+    def wmat(name, l=None):
+        w = qsb["w"][name] if l is None else qsb["w"][name][l]
+        return unpack_int4_rows(w) if (int4 and name != "head") else w
+
     h = h0.astype(jnp.float32)
     cos_qf, sin_qf, cos_kf, sin_kf = rope_tables_flat(cos, sin, nq, nkv, hd)
     bias_p = jnp.pad(
@@ -744,7 +903,8 @@ def emulate_bb_decode_step(
     nk, nv = [], []
     for l in range(L):
         rs = _rms_scale(h, eps)
-        qkv = _qdot(h.astype(jnp.bfloat16), qsb["w"]["wqkv"][l][:, :QKVN])
+        xq = h * qsb["u"]["wqkv"][l] if int4 else h
+        qkv = _qdot(xq.astype(jnp.bfloat16), wmat("wqkv", l)[:, :QKVN])
         qkv = qkv * qsb["s"]["wqkv"][l] * rs
 
         row = {}
@@ -765,22 +925,27 @@ def emulate_bb_decode_step(
         )
         nk.append(k_new.astype(jnp.bfloat16))
         nv.append(v_new.astype(jnp.bfloat16))
-        h = h + _qdot(attn.astype(jnp.bfloat16), qsb["w"]["wo"][l]) * qsb["s"]["wo"][l]
+        xo = attn * qsb["u"]["wo"][l] if int4 else attn
+        h = h + _qdot(xo.astype(jnp.bfloat16), wmat("wo", l)) * qsb["s"]["wo"][l]
 
         rs = _rms_scale(h, eps)
-        h_bf = h.astype(jnp.bfloat16)
+        xg = h * qsb["u"]["w_gu"][l] if int4 else h
+        h_bf = xg.astype(jnp.bfloat16)
         parts = [
-            _qdot(h_bf, qsb["w"]["w_gu"][l][:, c * chunk_gu : (c + 1) * chunk_gu])
+            _qdot(h_bf, wmat("w_gu", l)[:, c * chunk_gu : (c + 1) * chunk_gu])
             * qsb["s"]["w_gu"][l][:, c * chunk_gu : (c + 1) * chunk_gu]
             for c in range(n_gu)
         ]
         gu = jnp.concatenate(parts, axis=1) * rs
-        gated = (jax.nn.silu(gu[:, :F]) * gu[:, F:]).astype(jnp.bfloat16)
+        gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
+        if int4:
+            gated = gated * qsb["u"]["w_down"][l]
+        gated = gated.astype(jnp.bfloat16)
         dn_acc = jnp.zeros((B, D), jnp.float32)
         for r in range(n_dn):
             dn_acc = dn_acc + _qdot(
                 gated[:, r * chunk_dn : (r + 1) * chunk_dn],
-                qsb["w"]["w_down"][l][r * chunk_dn : (r + 1) * chunk_dn, :],
+                wmat("w_down", l)[r * chunk_dn : (r + 1) * chunk_dn, :],
             )
         h = h + dn_acc * qsb["s"]["w_down"][l]
 

@@ -33,10 +33,11 @@ def main():
     bcfg = config.backbone
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    bits = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     params = jax.jit(lambda k: csm.init_params(k, config, jnp.bfloat16))(
         jax.random.key(0)
     )
-    qsb = jax.jit(lambda p: prepare_streamed_backbone(p, config))(params)
+    qsb = jax.jit(lambda p: prepare_streamed_backbone(p, config, bits=bits))(params)
     np.asarray(qsb["final_norm"])
 
     rng = np.random.default_rng(0)
@@ -59,11 +60,16 @@ def main():
     # residual layers compound that to a few percent on the worst element.
     # The CPU interpreter tests pin BIT-exactness of the math itself; the
     # hardware contract here is "within a few bf16 ulps after 16 layers".
+    # int4 gate is slightly looser: the W4 grid's coarser steps amplify
+    # the same Mosaic-vs-XLA accumulation-order deltas (B=1 measured
+    # 3.1e-2 worst element vs int8's 1.6e-2); the behavioral gates below
+    # (greedy match + near-tie explanation) are unchanged.
+    rel_gate = 4e-2 if bits == 4 else 3e-2
     for name, a, b in zip(("nh", "logits", "nk", "nv"), out_k, out_e):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         scale_ref = np.abs(b).max() + 1e-9
         rel = np.abs(a - b).max() / scale_ref
-        passed = rel < 3e-2
+        passed = rel < rel_gate
         ok &= bool(passed)
         print(f"{name:8s}: rel={rel:.2e} max|d|={np.abs(a-b).max():.3e} "
               f"({'OK' if passed else 'FAIL'})")
@@ -162,7 +168,7 @@ def main():
     t_hi = timed(lambda: np.asarray(f(qsb, h0, 40)))
     t_lo = timed(lambda: np.asarray(f(qsb, h0, 5)))
     per = (t_hi - t_lo) / 35
-    print(f"bb kernel (B={B}, W={W}): {per:.3f} ms/step "
+    print(f"bb kernel (B={B}, W={W}, W{bits}A16): {per:.3f} ms/step "
           f"(XLA int8 path was ~1.57 ms at W=256)")
     from _bench_lib import record_check
 
@@ -174,7 +180,8 @@ def main():
     print(f"bb kernel HBM-bandwidth utilization: {100*bw_util:.1f}% "
           f"({(wbytes+kvbytes)/2**30:.2f} GiB / {per:.2f} ms)")
     record_check(
-        f"bb_kernel_B{B}_W{W}", ok, ms_per_step=float(per),
+        f"bb_kernel_B{B}_W{W}" + ("" if bits == 8 else f"_int{bits}"),
+        ok, ms_per_step=float(per),
         hbm_bw_util_pct=float(100 * bw_util),
         c0_logit_rel_vs_bf16=float(rel),
         greedy_match_emulator=f"{m_emu}/{rows}",

@@ -29,6 +29,14 @@ def setup():
     return cfg, params, qsb
 
 
+@pytest.fixture(scope="module")
+def setup4():
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    qsb4 = jax.jit(lambda p: bk.prepare_streamed_backbone(p, cfg, bits=4))(params)
+    return cfg, params, qsb4
+
+
 def _inputs(cfg, B, W, seed=0, partial_valid=True):
     rng = np.random.default_rng(seed)
     bcfg = cfg.backbone
@@ -110,6 +118,63 @@ def test_matches_bf16_path_closely(setup):
     rel = np.abs(np.asarray(nk, np.float64) - new_k_ref.astype(np.float64)).max()
     rel /= np.abs(new_k_ref).max() + 1e-9
     assert rel < 0.05, rel
+
+
+@pytest.mark.parametrize("B,W,partial", [(1, 8, False), (2, 16, True)])
+def test_int4_kernel_matches_emulator(setup4, B, W, partial):
+    """W4A16 mode: interpret-mode kernel (arithmetic nibble unpack) is
+    bit-exact against the jitted emulator (same unpack via XLA shifts)."""
+    cfg, params, qsb4 = setup4
+    assert qsb4["w"]["wqkv"].dtype == jnp.int8  # row-PACKED nibbles
+    assert qsb4["w"]["wqkv"].shape[1] == cfg.backbone.hidden_size // 2
+    args = _inputs(cfg, B, W, seed=B + 10, partial_valid=partial)
+    out_k = bk.bb_decode_step(qsb4, cfg, *args, interpret=True)
+    emu = jax.jit(lambda q, *a: bk.emulate_bb_decode_step(q, cfg, *a))
+    out_e = emu(qsb4, *args)
+    for name, a, b in zip(("normed_h", "c0_logits", "new_k", "new_v"), out_k, out_e):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+def test_int4_pack_unpack_roundtrip():
+    """pack_int4_rows / unpack_int4_rows are exact inverses over the full
+    nibble range, including -8."""
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.integers(-8, 8, (3, 16, 128)), jnp.int8)
+    p = bk.pack_int4_rows(q)
+    assert p.shape == (3, 8, 128) and p.dtype == jnp.int8
+    np.testing.assert_array_equal(np.asarray(bk.unpack_int4_rows(p)), np.asarray(q))
+
+
+def test_int4_matches_bf16_path_roughly(setup4):
+    """The W4A16 decode step tracks the bf16 XLA path within the int4
+    weight-quantization budget at tiny scale (greedy c0 agreement is a
+    real-weights question — scripts/fetch_and_verify.py)."""
+    cfg, params, qsb4 = setup4
+    B, W = 2, 16
+    rng = np.random.default_rng(7)
+    ids = np.zeros((B, 1, cfg.frame_width), np.int32)
+    ids[..., :-1] = rng.integers(1, cfg.audio_vocab_size, (B, 1, 32))
+    mask = np.zeros((B, 1, cfg.frame_width), np.float32)
+    mask[..., :-1] = 1.0
+    cache = KVCache.create(cfg.backbone, B, W, dtype=jnp.bfloat16)
+    fill = W // 2
+    cache = cache.replace(
+        k=cache.k.at[:, :, :fill].set(
+            jnp.asarray(rng.standard_normal(cache.k[:, :, :fill].shape), jnp.bfloat16)
+        ),
+        v=cache.v.at[:, :, :fill].set(
+            jnp.asarray(rng.standard_normal(cache.v[:, :, :fill].shape), jnp.bfloat16)
+        ),
+        valid=cache.valid.at[:, :fill].set(True),
+        index=jnp.int32(fill),
+    )
+    ref = csm.forward(params, cfg, jnp.asarray(ids), jnp.asarray(mask), cache=cache)
+    out = jax.jit(
+        lambda p, q, i, m, c: csm.forward(p, cfg, i, m, cache=c, qsb=q)
+    )(params, qsb4, jnp.asarray(ids), jnp.asarray(mask), cache)
+    ref_h = np.asarray(ref.last_hidden_state, np.float64)
+    diff = np.abs(np.asarray(out.last_hidden_state, np.float64) - ref_h).max()
+    assert diff / (np.abs(ref_h).max() + 1e-9) < 0.15  # int4 budget
 
 
 def test_generation_with_streamed_backbone(setup):
