@@ -796,7 +796,15 @@ def bb_decode_step(
         jax.ShapeDtypeStruct((L, B, nkv * hd), jnp.bfloat16),
         jax.ShapeDtypeStruct((L, B, nkv * hd), jnp.bfloat16),
     )
-    vmem_limit = depth * ring_bytes + kv_bytes + Va_pad * D + 24 * 1024 * 1024
+    # Scratch + head buffer + temporaries.  The block-diagonal attention's
+    # intermediates (qz / own-mask / out, each [B·nq, B·nkv·hd] f32) scale
+    # with B², so the slack must grow with the batch or B=16 trips the
+    # scoped-vmem allocator.
+    attn_tmp = 3 * (B * nq) * (C * hd) * 4
+    vmem_limit = (
+        depth * ring_bytes + kv_bytes + Va_pad * D + attn_tmp
+        + 24 * 1024 * 1024
+    )
 
     # int4 rings hold row-PACKED int8 bytes (half the rows) — see
     # pack_int4_rows; the kernel bitcasts each chunk back to int4.

@@ -412,15 +412,17 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
         wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused, norm-folded)
         sqkv, so, sgu, sd,  # VMEM f32 [L, 1, N]
         cos_ref, sin_ref,  # VMEM f32 [P, hd]
-        gumbel_ref,  # VMEM f32 [N, B, Va_pad] — row i: codebook i's noise
+        gumbel_hbm,  # ANY f32 [N, B, Va_pad] — row i: codebook i's noise
         head_hbm,  # ANY [N-1, Dd, Va_pad]
         emb_hbm,  # ANY [rows, sub, lanes]
         samples_ref,  # out VMEM (B, N) int32
         head_buf,  # scratch VMEM (2, Dd, Va_pad) head_dtype
         emb_buf,  # scratch VMEM (B, sub, lanes) emb dtype
         kv_k, kv_v,  # scratch VMEM (L, P, B*nkv*hd) f32 — merged layout
+        gum_buf,  # scratch VMEM (2, B, Va_pad) f32 — double-buffered noise
         head_sem,  # DMA sem (2,)
         emb_sem,  # DMA sem (B,)
+        gum_sem,  # DMA sem (2,)
     ):
         w_refs = dict(zip(_KERNEL_MATS, (wqkv, wo, wgu, wd)))
         s_refs = dict(zip(_KERNEL_MATS, (sqkv, so, sgu, sd)))
@@ -430,6 +432,27 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
             return pltpu.make_async_copy(
                 head_hbm.at[i], head_buf.at[slot], head_sem.at[slot]
             )
+
+        # Gumbel noise rows stream from HBM, double-buffered two steps
+        # ahead — keeping the [N, B, Va_pad] table OUT of VMEM (it alone
+        # would be ~4.5 MB at B=16; the weights already occupy ~106 MB).
+        def gum_dma(i):
+            return pltpu.make_async_copy(
+                gumbel_hbm.at[i], gum_buf.at[i % 2], gum_sem.at[i % 2]
+            )
+
+        def gum_row(i):
+            """Wait codebook i's noise row and prefetch row i+2."""
+            gum_dma(i).wait()
+            row = gum_buf[i % 2]
+            if isinstance(i, int):  # static index (c0 warm-up)
+                if i + 2 < N:
+                    gum_dma(i + 2).start()
+            else:
+                @pl.when(i + 2 < N)
+                def _():
+                    gum_dma(i + 2).start()
+            return row
 
         def fetch_embeds(rows):
             """Data-dependent DMA of each stream's pre-projected embedding
@@ -450,6 +473,8 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
         kv_v[...] = jnp.zeros(kv_v.shape, kv_v.dtype)
 
         head_dma(0, 0).start()
+        gum_dma(0).start()
+        gum_dma(1).start()
 
         col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
         vcol = jax.lax.broadcasted_iota(jnp.int32, (B, Va_pad), 1)
@@ -460,7 +485,7 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
         # it here takes the whole c0-sample -> embed -> prefill-build chain
         # off the XLA critical path (~0.5 ms of tiny serialized ops).
         lg0 = jnp.where(vcol < Va, c0lg_ref[:], NEG_INF)
-        c0 = _sample_row(lg0, gumbel_ref[0], temp, topk, greedy)  # [B]
+        c0 = _sample_row(lg0, gum_row(0), temp, topk, greedy)  # [B]
         samples0 = jnp.where(col == 0, c0[:, None], 0)
 
         # Decoder prefill: [proj(last_h); proj(embed(c0))] at positions 0..1
@@ -492,7 +517,7 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
             # the zero-padded vocab lanes out of contention.
             logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
             logits = jnp.where(vcol < Va, logits, NEG_INF)
-            return _sample_row(logits, gumbel_ref[i], temp, topk, greedy)
+            return _sample_row(logits, gum_row(i), temp, topk, greedy)
 
         def step(i, carry):  # i ∈ [1, N-2]: classify + advance the decoder
             h_last, samples = carry
@@ -568,15 +593,15 @@ def fused_decode_codebooks(
         [pl.BlockSpec(memory_space=pltpu.SMEM), vm, vm]
         + [vm] * (2 * len(_KERNEL_MATS))
         + [vm] * 2  # rope tables
-        + [vm]  # gumbel
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 2  # head, emb tables
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3  # gumbel, head, emb tables
     )
 
     vmem_bytes = sum(int(w.size * w.dtype.itemsize) for w in weights)
     vmem_bytes += 2 * Dd * Va_pad * jnp.dtype(head_dtype).itemsize  # head_buf
-    # Temporaries, KV scratch, and the VMEM inputs (gumbel [N, B, Va_pad] +
-    # c0 logits [B, Va_pad] + rope tables) — sized for B=8, which sits
-    # ~0.1 MiB under the 127 MiB cap.
+    vmem_bytes += 2 * B * Va_pad * 4  # gum_buf (noise streams from HBM)
+    # Temporaries, KV scratch, and the small VMEM inputs (c0 logits
+    # [B, Va_pad] + rope tables); the gumbel table itself stays in HBM so
+    # batch growth costs VMEM only through the [B, ...] activations.
     vmem_bytes += 10 * 1024 * 1024
 
     return pl.pallas_call(
@@ -589,8 +614,10 @@ def fused_decode_codebooks(
             pltpu.VMEM((B, sub, lanes), qdec["proj_emb"].dtype),
             pltpu.VMEM((L, P, B * nkv * hd), jnp.float32),
             pltpu.VMEM((L, P, B * nkv * hd), jnp.float32),
+            pltpu.VMEM((2, B, Va_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((B,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 127 * 1024 * 1024),

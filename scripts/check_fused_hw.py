@@ -123,10 +123,11 @@ def main():
         )
         print(f"kernel vs emulator  greedy={greedy}: {what}")
 
-    # Batched serving contract: B=8 rows, per-stream noise.  Each row of the
-    # batched run and its solo run must both track the emulator trajectory
-    # (identical inputs per row), with any fork near-tie explained.
-    B = 8
+    # Batched serving contract: B rows (default 8; pass argv[1] for 16),
+    # per-stream noise.  Each row of the batched run and its solo run must
+    # both track the emulator trajectory (identical inputs per row), with
+    # any fork near-tie explained.
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     x0 = jnp.asarray(rng.standard_normal((B, Dd)), jnp.float32)
     c0lg = jnp.asarray(
         rng.standard_normal((B, Va)), jnp.float32
@@ -158,11 +159,14 @@ def main():
             else:
                 print(f"  row {b} {name}: diverge@cb{div} gap={gap:+.4f} "
                       f"({'near-tie OK' if near else 'FAIL'})")
-    print(f"batched(B=8)+solo vs emulator: {exact_rows}/16 exact, "
+    print(f"batched(B={B})+solo vs emulator: {exact_rows}/{2*B} exact, "
           f"all divergences near-tie: {'OK' if ok else 'FAILED'}")
     from _bench_lib import record_check
 
-    record_check("fused_decoder_kernel", ok, exact_rows_of_16=exact_rows)
+    record_check(
+        "fused_decoder_kernel" + ("" if B == 8 else f"_B{B}"), ok,
+        exact_rows=f"{exact_rows}/{2*B}",
+    )
     sys.exit(0 if ok else 1)
 
 
