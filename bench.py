@@ -15,8 +15,8 @@ auditable:
    kernel (:mod:`csm_tpu.ops.fused_decoder`) plus the streamed-weight
    backbone kernel (:mod:`csm_tpu.ops.bb_kernel`).
 2. ``csm1b_frames_per_sec_batch8_aggregate`` — 8 concurrent streams
-   through the batched fused decoder kernel + W8A16 int8 backbone,
-   aggregate frames/s.
+   through the batched fused decoder kernel + streamed-weight backbone
+   kernel, aggregate frames/s (``--batch N`` for other sizes).
 3. ``csm1b_first_frame_latency_ms`` — p50 prefill(64 frames)+first-frame
    latency; ``vs_baseline`` is the reference's 130 ms over ours.
 4. ``csm1b_quant_teacher_forced_token_agreement_pct`` — the
@@ -125,6 +125,9 @@ def main():
         + np.prod(params["audio_embeddings"].shape)
     )
 
+    from csm_tpu.ops.bb_kernel import MAX_VALIDATED_B as _qsb_max_b
+    from csm_tpu.ops.fused_decoder import MAX_VALIDATED_B as _qdec_max_b
+
     qdec = qbb = qsb = None
     on_tpu = not args.tiny and jax.default_backend() != "cpu"
     # Fused kernels: real-config TPU runs only (tiny debug shapes don't tile).
@@ -159,7 +162,7 @@ def main():
             greedy=greedy, stop_on_all_zeros=False, stop_mode="stream",
             qdec=None if force_xla else q,
             qbb=qbb if (q is not None and not force_xla) else None,
-            qsb=use_qsb if (q is not None and batch <= 8 and not force_xla) else None,
+            qsb=use_qsb if (q is not None and batch <= _qsb_max_b and not force_xla) else None,
         )
         return frames, int(np.asarray(n).sum())  # np.asarray = sync barrier
 
@@ -212,7 +215,8 @@ def main():
     if not args.skip_batch and args.batch > 1:
         print(f"batch-{args.batch} aggregate...", file=sys.stderr)
         total, med, spread = timed(
-            args.batch, args.frames, qdec if args.batch <= 8 else None, args.reps
+            args.batch, args.frames,
+            qdec if args.batch <= _qdec_max_b else None, args.reps
         )
         bfps = total / med
         _emit(

@@ -112,10 +112,12 @@ def decode_frame(
     """
     B = last_h.shape[0]
     # The fused kernel is latency-bound, so batching rows through it is
-    # near-free UP TO one f32 sublane tile (8 rows) — measured: batch-8
-    # aggregate 1259 frames/s, batch-16 drops to 861 (the extra tile
-    # doubles every serial dot).  Larger batches use the XLA path.
-    if qdec is not None and B <= 8:
+    # near-free UP TO one f32 sublane tile (8 rows); a second tile costs
+    # extra on every serial dot but still beats the XLA loop's per-step
+    # glue.  Batches beyond the validated cap use the XLA path.
+    from csm_tpu.ops.fused_decoder import MAX_VALIDATED_B as _qdec_max_b
+
+    if qdec is not None and B <= _qdec_max_b:
         from csm_tpu.ops.fused_decoder import decode_frame_fused
 
         return decode_frame_fused(

@@ -143,16 +143,17 @@ class CSMModel:
                  greedy: bool = False, stop_mode: str = "batch") -> np.ndarray:
         from csm_tpu import generation
 
+        from csm_tpu.ops import bb_kernel, fused_decoder
+
         B = np.asarray(input_ids).shape[0]
-        small = B <= 8  # the kernels batch up to one f32 sublane tile
         return generation.generate(
             self.params, self.config, input_ids, attention_mask,
             max_new_frames=max_new_frames, temperature=temperature, topk=topk,
             use_cache=use_cache, stop_on_all_zeros=stop_on_all_zeros,
             rng=rng, greedy=greedy, stop_mode=stop_mode,
-            qdec=self._qdec if small else None,
+            qdec=self._qdec if B <= fused_decoder.MAX_VALIDATED_B else None,
             qbb=self._qbb,
-            qsb=self._qsb if small else None,
+            qsb=self._qsb if B <= bb_kernel.MAX_VALIDATED_B else None,
         )
 
     # -- persistence --------------------------------------------------------

@@ -389,11 +389,13 @@ def forward(
     B, S, _ = input_ids.shape
     N = config.audio_num_codebooks
 
+    from csm_tpu.ops.bb_kernel import MAX_VALIDATED_B as _qsb_max_b
+
     if (
         qsb is not None
         and cache is not None
         and S == 1
-        and B <= 8  # the streamed kernel is validated for B <= 8 only
+        and B <= _qsb_max_b  # hardware-validated batch cap (bb_kernel)
         and labels is None
         and not return_all_logits
         and positions is None

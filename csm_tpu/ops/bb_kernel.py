@@ -69,6 +69,14 @@ from csm_tpu.ops.fused_decoder import NEG_INF, _rms_scale, quantize_per_channel
 # 1.324, 1024: 1.323 (plateau).  Trace-time knob like CSM_BB_RING_DEPTH.
 CHUNK_N = int(os.environ.get("CSM_BB_CHUNK_N", "2048"))
 
+# Largest batch the kernel is hardware-validated for (scripts/check_bb_hw.py
+# + KERNEL_CHECKS.json); csm.forward falls back to the XLA paths above this.
+# The step streams the same weight bytes regardless of B, so batch rows are
+# near-free: measured W8A16 at W=256 — B=1: 1.34 ms/step, B=16: 1.67 ms
+# (16 streams for +25% time; the B²-scaling block-diagonal attention
+# temporaries and the extra f32 sublane tiles cost the difference).
+MAX_VALIDATED_B = 16
+
 
 # ---------------------------------------------------------------------------
 # Preparation

@@ -53,6 +53,11 @@ from csm_tpu.ops.rope import compute_rope_table
 
 NEG_INF = -1e9
 
+# Largest batch the kernel is hardware-validated for
+# (scripts/check_fused_hw.py + KERNEL_CHECKS.json); decode_frame falls back
+# to the XLA codebook loop above this.
+MAX_VALIDATED_B = 8
+
 _MATS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 # The kernel consumes the fused projections (QKV / gate-up concatenated);
 # the separate forms stay in the bundle for the emulator oracle.

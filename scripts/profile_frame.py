@@ -33,6 +33,12 @@ import numpy as np
 from _bench_lib import setup_cache, timed
 
 
+def _qdec_max_b():
+    from csm_tpu.ops.fused_decoder import MAX_VALIDATED_B
+
+    return MAX_VALIDATED_B
+
+
 
 
 def main():
@@ -116,7 +122,7 @@ def main():
             params, config, pids, pmask, jnp.int32(S), k,
             max_new_frames=nf, temperature=1.0, topk=50, greedy=False,
             stop_on_all_zeros=False, stop_mode="stream",
-            qdec=qdec if B <= 8 else None, qbb=qbb,
+            qdec=qdec if B <= _qdec_max_b() else None, qbb=qbb,
         )
         np.asarray(frames)
 
