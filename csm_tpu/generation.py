@@ -107,15 +107,18 @@ def decode_frame(
 
     ``qdec``: a bundle from
     :func:`csm_tpu.ops.fused_decoder.prepare_fused_decoder` switches the
-    whole loop to the VMEM-resident int8 Pallas kernel (B ≤ 8; ~3×
+    whole loop to the VMEM-resident int8 Pallas kernel (chunks of
+    MAX_VALIDATED_B rows, dispatched up to MAX_CHUNKED_B; ~3×
     faster on a v5e chip, quantized numerics — see that module's docs).
     """
     B = last_h.shape[0]
     # The fused kernel is latency-bound, so batching rows through it is
-    # near-free UP TO one f32 sublane tile (8 rows); a second tile costs
-    # extra on every serial dot but still beats the XLA loop's per-step
-    # glue.  Batches beyond the validated cap use the XLA path.
-    from csm_tpu.ops.fused_decoder import MAX_VALIDATED_B as _qdec_max_b
+    # near-free UP TO one f32 sublane tile (8 rows).  Past the kernel's
+    # VMEM-validated cap, decode_frame_fused splits the batch into
+    # sequential capped chunks (each ~2 ms); the XLA loop's ~8.5 ms
+    # weight-bound floor is flat in B, so chunking wins up to ~4 chunks —
+    # beyond that fall back to the XLA path.
+    from csm_tpu.ops.fused_decoder import MAX_CHUNKED_B as _qdec_max_b
 
     if qdec is not None and B <= _qdec_max_b:
         from csm_tpu.ops.fused_decoder import decode_frame_fused

@@ -151,7 +151,7 @@ class CSMModel:
             max_new_frames=max_new_frames, temperature=temperature, topk=topk,
             use_cache=use_cache, stop_on_all_zeros=stop_on_all_zeros,
             rng=rng, greedy=greedy, stop_mode=stop_mode,
-            qdec=self._qdec if B <= fused_decoder.MAX_VALIDATED_B else None,
+            qdec=self._qdec if B <= fused_decoder.MAX_CHUNKED_B else None,
             qbb=self._qbb,
             qsb=self._qsb if B <= bb_kernel.MAX_VALIDATED_B else None,
         )

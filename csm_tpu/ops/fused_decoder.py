@@ -54,9 +54,14 @@ from csm_tpu.ops.rope import compute_rope_table
 NEG_INF = -1e9
 
 # Largest batch the kernel is hardware-validated for
-# (scripts/check_fused_hw.py + KERNEL_CHECKS.json); decode_frame falls back
-# to the XLA codebook loop above this.
+# (scripts/check_fused_hw.py + KERNEL_CHECKS.json).  A single B=16 program
+# does NOT fit: the resident int8 weights (~106 MB) plus B-scaled scratch
+# exceed the 127 MiB scoped-VMEM cap, so decode_frame_fused instead splits
+# larger batches into sequential capped chunks — exact per-row numerics,
+# one extra weight reload (~0.13 ms) + serial latency per chunk.  Chunking
+# beats the XLA loop's flat ~8.5 ms weight-bound floor up to MAX_CHUNKED_B.
 MAX_VALIDATED_B = 8
+MAX_CHUNKED_B = 4 * MAX_VALIDATED_B
 
 _MATS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 # The kernel consumes the fused projections (QKV / gate-up concatenated);
@@ -813,8 +818,26 @@ def decode_frame_fused(
         )(keys)
 
     x0 = last_h @ params["projection"]  # [B, Dd]
-    return fused_decode_codebooks(
-        qdec, config, x0.astype(jnp.float32),
-        c0_logits.astype(jnp.float32), gumbel, temperature,
-        topk=topk, greedy=greedy, interpret=interpret,
-    )  # [B, N]
+    x0 = x0.astype(jnp.float32)
+    c0lg = c0_logits.astype(jnp.float32)
+    if B <= MAX_VALIDATED_B:
+        return fused_decode_codebooks(
+            qdec, config, x0, c0lg, gumbel, temperature,
+            topk=topk, greedy=greedy, interpret=interpret,
+        )  # [B, N]
+    # Batches past the kernel's VMEM-validated cap split into sequential
+    # chunks of MAX_VALIDATED_B rows.  The noise table was built at full B
+    # above, so every row's draw is bitwise what the joint/per-stream XLA
+    # semantics prescribe — slicing it keeps each chunk row-identical to
+    # its solo run.  Cost per extra chunk = one weight reload into VMEM
+    # (~106 MB ≈ 0.13 ms at 819 GB/s) + the serial 31-step latency; far
+    # cheaper than the XLA codebook loop, which re-reads the weights from
+    # HBM on all 31 steps.
+    outs = []
+    for s in range(0, B, MAX_VALIDATED_B):
+        e = min(s + MAX_VALIDATED_B, B)
+        outs.append(fused_decode_codebooks(
+            qdec, config, x0[s:e], c0lg[s:e], gumbel[:, s:e], temperature,
+            topk=topk, greedy=greedy, interpret=interpret,
+        ))
+    return jnp.concatenate(outs, axis=0)  # [B, N]

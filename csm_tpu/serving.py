@@ -56,7 +56,8 @@ class CSMStreamer:
 
         # Quantized fast paths — same contract as CSMServer: the fused
         # decoder kernel (qdec), W8A16 backbone (qbb), or streamed-weight
-        # backbone kernel (qsb, B ≤ 8) apply to the per-frame steps; prefill
+        # backbone kernel (qsb, up to its MAX_VALIDATED_B; csm.forward
+        # falls back past it) apply to the per-frame steps; prefill
         # conditions on the prompt in full bf16 (qdec only).  Passed as jit
         # ARGUMENTS, not closure captures (captured pytrees inline a
         # gigabyte of weights into the HLO).
@@ -226,7 +227,8 @@ class CSMServer:
         # the batched fused decoder kernel rides the same serial matvecs for
         # all slots, the int8 backbone halves decode-step weight traffic, and
         # ``qsb`` replaces it with the streamed-weight backbone kernel
-        # (fastest; B ≤ 8).  Prefill always stays bf16.  The bundles are jit
+        # (fastest; engages up to bb_kernel.MAX_VALIDATED_B slots, XLA
+        # fallback past it).  Prefill always stays bf16.  The bundles are jit
         # ARGUMENTS, never closure captures — captured pytrees get inlined
         # into the HLO as constants (a gigabyte of weights in the request).
         self._qdec = qdec

@@ -34,9 +34,9 @@ from _bench_lib import setup_cache, timed
 
 
 def _qdec_max_b():
-    from csm_tpu.ops.fused_decoder import MAX_VALIDATED_B
+    from csm_tpu.ops.fused_decoder import MAX_CHUNKED_B
 
-    return MAX_VALIDATED_B
+    return MAX_CHUNKED_B
 
 
 

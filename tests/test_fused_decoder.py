@@ -190,3 +190,52 @@ def test_batched_kernel_rows_equal_solo_runs(setup):
         1.0, 5, True, interpret=True,
     )
     assert out_g.shape == (B, config.audio_num_codebooks)
+
+
+def test_chunked_decode_past_validated_cap(setup):
+    """Batches past MAX_VALIDATED_B split into sequential capped chunks
+    (``decode_frame_fused``); per-stream keys must make each row bitwise
+    equal to its solo run, and the joint-key mode must equal one unchunked
+    call at the same B (the noise table is built at full B, then sliced)."""
+    config, params, qdec, *_ = setup
+    cap = fd.MAX_VALIDATED_B
+    B = cap + 3  # one full chunk + a remainder chunk
+    last_h = jax.random.normal(
+        jax.random.key(11), (B, config.backbone.hidden_size), jnp.float32
+    )
+    c0_logits = jax.random.normal(
+        jax.random.key(12), (B, config.audio_vocab_size), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    keys = jax.random.split(jax.random.key(13), B)
+
+    out = fd.decode_frame_fused(
+        params, qdec, config, last_h, c0_logits, keys, 0.8, 5, False,
+        interpret=True,
+    )
+    assert out.shape == (B, config.audio_num_codebooks)
+    solo = np.stack([
+        np.asarray(fd.decode_frame_fused(
+            params, qdec, config, last_h[b:b+1], c0_logits[b:b+1],
+            keys[b:b+1], 0.8, 5, False, interpret=True,
+        ))[0]
+        for b in range(B)
+    ])
+    np.testing.assert_array_equal(np.asarray(out), solo)
+
+    # Joint-key mode: chunking must not change the draw — compare against
+    # a monkeypatched unchunked call at the same B (interpret mode has no
+    # VMEM cap, so the monolithic program is runnable as the oracle).
+    joint = fd.decode_frame_fused(
+        params, qdec, config, last_h, c0_logits, jax.random.key(21),
+        0.8, 5, False, interpret=True,
+    )
+    orig = fd.MAX_VALIDATED_B
+    try:
+        fd.MAX_VALIDATED_B = B
+        mono = fd.decode_frame_fused(
+            params, qdec, config, last_h, c0_logits, jax.random.key(21),
+            0.8, 5, False, interpret=True,
+        )
+    finally:
+        fd.MAX_VALIDATED_B = orig
+    np.testing.assert_array_equal(np.asarray(joint), np.asarray(mono))
