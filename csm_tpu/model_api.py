@@ -114,7 +114,7 @@ class CSMModel:
             temperature=temperature, topk=topk, rng=rng, greedy=greedy,
         )
 
-    def quantize(self, bits: int = 8) -> "CSMModel":
+    def quantize(self, bits: int = 8, head_bits: int = 16) -> "CSMModel":
         """Prepare the opt-in quantized fast paths once (fused decoder
         kernel, W8A16 backbone, streamed-weight backbone kernel — see
         ``docs/ARCHITECTURE.md``); subsequent :meth:`generate` calls use
@@ -122,15 +122,20 @@ class CSMModel:
         kernel's layer weights as W4A16 int4 with exact row equilibration —
         roughly halves the backbone decode step again at a further (small)
         weight-precision cost; the fused decoder and the c0 head stay
-        int8.  Single-chip TPU paths: call only when the default backend
-        is a TPU and generation runs un-meshed.  Returns ``self`` for
-        chaining."""
+        int8.  ``head_bits=8`` also quantizes the fused decoder's per-step
+        ``audio_head`` slices to int8, which lets a single fused-decoder
+        program serve 16 streams (``fused_decoder.MAX_VALIDATED_B_1SLOT``)
+        instead of chunking at 8.  Single-chip TPU paths: call only when
+        the default backend is a TPU and generation runs un-meshed.
+        Returns ``self`` for chaining."""
         from csm_tpu.ops.bb_kernel import prepare_streamed_backbone
         from csm_tpu.ops.fused_decoder import prepare_fused_decoder
         from csm_tpu.ops.quant import prepare_quantized_backbone
 
         cfg = self.config
-        self._qdec = jax.jit(lambda p: prepare_fused_decoder(p, cfg))(self.params)
+        self._qdec = jax.jit(
+            lambda p: prepare_fused_decoder(p, cfg, head_bits=head_bits)
+        )(self.params)
         self._qbb = jax.jit(lambda p: prepare_quantized_backbone(p, cfg))(self.params)
         self._qsb = jax.jit(
             lambda p: prepare_streamed_backbone(p, cfg, bits=bits)

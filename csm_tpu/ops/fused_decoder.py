@@ -53,14 +53,22 @@ from csm_tpu.ops.rope import compute_rope_table
 
 NEG_INF = -1e9
 
-# Largest batch the kernel is hardware-validated for
-# (scripts/check_fused_hw.py + KERNEL_CHECKS.json).  A single B=16 program
-# does NOT fit: the resident int8 weights (~106 MB) plus B-scaled scratch
-# exceed the 127 MiB scoped-VMEM cap, so decode_frame_fused instead splits
-# larger batches into sequential capped chunks — exact per-row numerics,
-# one extra weight reload (~0.13 ms) + serial latency per chunk.  Chunking
-# beats the XLA loop's flat ~8.5 ms weight-bound floor up to MAX_CHUNKED_B.
+# Largest batch the kernel is hardware-validated for with the default
+# double-buffered bf16 head slices
+# (scripts/check_fused_hw.py + KERNEL_CHECKS.json).  A single bf16-head
+# B=16 program does NOT fit: the resident int8 weights (~111 MB) plus the
+# 8.9 MB double head buffer and B-scaled scratch exceed the 127 MiB
+# scoped-VMEM cap.  Past MAX_VALIDATED_B the kernel switches to a
+# SINGLE-buffered head (start-after-consume; the ~5 µs slice DMA hides
+# under the following decoder pass, so nothing is exposed) and — with the
+# opt-in int8 head (``prepare_fused_decoder(head_bits=8)``) — a single
+# program fits up to MAX_VALIDATED_B_1SLOT rows.  Beyond that,
+# decode_frame_fused splits into sequential capped chunks — exact per-row
+# numerics, one extra weight reload (~0.13 ms) + serial 31-step latency
+# per chunk.  Chunking beats the XLA loop's flat ~8.5 ms weight-bound
+# floor up to MAX_CHUNKED_B.
 MAX_VALIDATED_B = 8
+MAX_VALIDATED_B_1SLOT = 16  # requires the int8 head (head_bits=8)
 MAX_CHUNKED_B = 4 * MAX_VALIDATED_B
 
 _MATS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -87,12 +95,21 @@ def quantize_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-def prepare_fused_decoder(params: dict, config: CSMConfig) -> dict:
+def prepare_fused_decoder(
+    params: dict, config: CSMConfig, head_bits: int = 16
+) -> dict:
     """Build the kernel's parameter bundle from a CSM param pytree.
 
     One-time cost per model load: quantizes the decoder stack + pre-projects
     the audio embedding table through ``projection`` (the XLA path computes
     ``embed(ci) @ proj`` per step; here it is a table lookup).
+
+    ``head_bits=8`` additionally quantizes the per-step ``audio_head``
+    slices to int8 (symmetric per-output-channel, W8A16 dot + f32 rescale
+    in-kernel): the head's VMEM buffer and its ~138 MB/frame of slice DMA
+    traffic both halve, which is what lets a single B=16 program fit under
+    the VMEM cap (``MAX_VALIDATED_B_1SLOT``).  The default keeps the bf16
+    head — bit-identical logits to the XLA quantized path's head matmul.
     """
     dec = params["decoder"]["layers"]
     dcfg = config.decoder
@@ -158,9 +175,16 @@ def prepare_fused_decoder(params: dict, config: CSMConfig) -> dict:
     head_dtype = params["audio_head"].dtype
     fnw = params["decoder"]["final_norm"].astype(jnp.float32)[None, :, None]
     head = params["audio_head"].astype(jnp.float32) * fnw
-    out["audio_head"] = jnp.pad(
-        head.astype(head_dtype), ((0, 0), (0, 0), (0, Va_pad - Va))
-    )  # [N-1, Dd, Va_pad]
+    if head_bits == 8:
+        hq, hs = quantize_per_channel(head)  # amax over Dd (axis -2)
+        out["audio_head"] = jnp.pad(hq, ((0, 0), (0, 0), (0, Va_pad - Va)))
+        out["head_scale"] = jnp.pad(
+            hs, ((0, 0), (0, 0), (0, Va_pad - Va)), constant_values=1.0
+        )  # [N-1, 1, Va_pad] f32
+    else:
+        out["audio_head"] = jnp.pad(
+            head.astype(head_dtype), ((0, 0), (0, 0), (0, Va_pad - Va))
+        )  # [N-1, Dd, Va_pad]
     return out
 
 
@@ -403,7 +427,15 @@ def _decoder_pass(
     return h_last * _rms_scale(h_last, eps)
 
 
-def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int):
+def _make_kernel(
+    config: CSMConfig,
+    topk: int,
+    greedy: bool,
+    head_dtype,
+    B: int,
+    head_slots: int = 2,
+    head_scaled: bool = False,
+):
     dcfg = config.decoder
     eps = dcfg.rms_norm_eps
     N = config.audio_num_codebooks
@@ -422,15 +454,16 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
         wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused, norm-folded)
         sqkv, so, sgu, sd,  # VMEM f32 [L, 1, N]
         cos_ref, sin_ref,  # VMEM f32 [P, hd]
+        hs_ref,  # VMEM f32 [N-1, 1, Va_pad] head rescale (dummy unless head_scaled)
         gumbel_hbm,  # ANY f32 [N, B, Va_pad] — row i: codebook i's noise
         head_hbm,  # ANY [N-1, Dd, Va_pad]
         emb_hbm,  # ANY [rows, sub, lanes]
         samples_ref,  # out VMEM (B, N) int32
-        head_buf,  # scratch VMEM (2, Dd, Va_pad) head_dtype
+        head_buf,  # scratch VMEM (head_slots, Dd, Va_pad) head_dtype
         emb_buf,  # scratch VMEM (B, sub, lanes) emb dtype
         kv_k, kv_v,  # scratch VMEM (L, P, B*nkv*hd) f32 — merged layout
         gum_buf,  # scratch VMEM (2, B, Va_pad) f32 — double-buffered noise
-        head_sem,  # DMA sem (2,)
+        head_sem,  # DMA sem (head_slots,)
         emb_sem,  # DMA sem (B,)
         gum_sem,  # DMA sem (2,)
     ):
@@ -516,12 +549,17 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
 
         def classify(h_last, i):
             """Head matmul + sample for codebook ``i`` (head slice i-1)."""
-            slot = (i - 1) % 2
+            slot = 0 if head_slots == 1 else (i - 1) % 2
             head_dma(slot, i - 1).wait()
+            # int8 head (head_scaled): W8A16 dot + f32 per-channel rescale;
+            # bf16 head: plain dot in the head's own dtype.
+            x = h_last.astype(jnp.bfloat16 if head_scaled else head_dtype)
             logits = jax.lax.dot_general(
-                h_last.astype(head_dtype), head_buf[slot],
+                x, head_buf[slot],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             )  # [B, Va_pad]
+            if head_scaled:
+                logits = logits * hs_ref[i - 1]
             # Round through bf16 to mirror the XLA path's head-matmul output
             # dtype, keeping greedy decisions comparable across paths; mask
             # the zero-padded vocab lanes out of contention.
@@ -531,8 +569,15 @@ def _make_kernel(config: CSMConfig, topk: int, greedy: bool, head_dtype, B: int)
 
         def step(i, carry):  # i ∈ [1, N-2]: classify + advance the decoder
             h_last, samples = carry
-            head_dma(i % 2, i).start()  # i ≤ N-2 always has a next slice
+            if head_slots == 2:
+                head_dma(i % 2, i).start()  # i ≤ N-2 always has a next slice
             ci = classify(h_last, i)
+            if head_slots == 1:
+                # Single-buffered: start slice i only AFTER classify consumed
+                # slice i-1 (the WAR dependency on head_buf orders the
+                # enqueue after the dot's reads).  The ~5 µs slice DMA then
+                # hides under the decoder pass below, so nothing is exposed.
+                head_dma(0, i).start()
             samples = jnp.where(col == i, ci[:, None], samples)
 
             # Fetch the pre-projected embedding of each stream's ci
@@ -593,7 +638,19 @@ def fused_decode_codebooks(
     c0_logits = c0_logits.astype(jnp.bfloat16).astype(jnp.float32)
     c0_logits = jnp.pad(c0_logits, ((0, 0), (0, Va_pad - Va)))
 
-    kernel = _make_kernel(config, topk, greedy, head_dtype, B)
+    head_scaled = "head_scale" in qdec
+    # Past the double-buffer-validated batch the head buffer drops to one
+    # slot (start-after-consume; see MAX_VALIDATED_B_1SLOT above) to keep
+    # the B=16 program under the VMEM cap.
+    head_slots = 2 if B <= MAX_VALIDATED_B else 1
+    kernel = _make_kernel(
+        config, topk, greedy, head_dtype, B, head_slots, head_scaled
+    )
+    hs = (
+        qdec["head_scale"]
+        if head_scaled
+        else jnp.ones((1, 1, 128), jnp.float32)  # dummy, unread
+    )
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     weights = [qdec["w"][m] for m in _KERNEL_MATS] + [
@@ -602,12 +659,15 @@ def fused_decode_codebooks(
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM), vm, vm]
         + [vm] * (2 * len(_KERNEL_MATS))
-        + [vm] * 2  # rope tables
+        + [vm] * 3  # rope tables + head rescale
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3  # gumbel, head, emb tables
     )
 
     vmem_bytes = sum(int(w.size * w.dtype.itemsize) for w in weights)
-    vmem_bytes += 2 * Dd * Va_pad * jnp.dtype(head_dtype).itemsize  # head_buf
+    vmem_bytes += int(hs.size) * 4
+    vmem_bytes += (
+        head_slots * Dd * Va_pad * jnp.dtype(head_dtype).itemsize
+    )  # head_buf
     vmem_bytes += 2 * B * Va_pad * 4  # gum_buf (noise streams from HBM)
     # Temporaries, KV scratch, and the small VMEM inputs (c0 logits
     # [B, Va_pad] + rope tables); the gumbel table itself stays in HBM so
@@ -620,12 +680,12 @@ def fused_decode_codebooks(
         in_specs=in_specs,
         out_specs=vm,
         scratch_shapes=[
-            pltpu.VMEM((2, Dd, Va_pad), head_dtype),
+            pltpu.VMEM((head_slots, Dd, Va_pad), head_dtype),
             pltpu.VMEM((B, sub, lanes), qdec["proj_emb"].dtype),
             pltpu.VMEM((L, P, B * nkv * hd), jnp.float32),
             pltpu.VMEM((L, P, B * nkv * hd), jnp.float32),
             pltpu.VMEM((2, B, Va_pad), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((head_slots,)),
             pltpu.SemaphoreType.DMA((B,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -639,6 +699,7 @@ def fused_decode_codebooks(
         c0_logits,
         *weights,
         qdec["cos"], qdec["sin"],
+        hs,
         gumbel,
         qdec["audio_head"],
         qdec["proj_emb"],
@@ -737,13 +798,19 @@ def emulate_decode_codebooks(
     )
     kv_k, kv_v, h_last = dec_pass(kv_k, kv_v, x_prefill, 0, 2)
 
+    head_scaled = "head_scale" in qdec
     samples = [c0[0]]
     all_logits = [lg0[0]]
     for i in range(1, N):
+        # Same head math as the kernel's classify(): int8 head (head_scaled)
+        # is a W8A16 dot + f32 per-channel rescale; bf16 head a plain dot.
+        xh = h_last.astype(jnp.bfloat16 if head_scaled else head_dtype)
         logits = jax.lax.dot_general(
-            h_last.astype(head_dtype), qdec["audio_head"][i - 1],
+            xh, qdec["audio_head"][i - 1],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
+        if head_scaled:
+            logits = logits * qdec["head_scale"][i - 1]
         logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
         logits = jnp.where(vcol < Va, logits, NEG_INF)
         all_logits.append(logits[0])
@@ -820,22 +887,27 @@ def decode_frame_fused(
     x0 = last_h @ params["projection"]  # [B, Dd]
     x0 = x0.astype(jnp.float32)
     c0lg = c0_logits.astype(jnp.float32)
-    if B <= MAX_VALIDATED_B:
+    # Single-program cap: 8 with the default bf16 head; 16 with the int8
+    # head (head_bits=8), whose halved head buffer + single-slot schedule
+    # keep a B=16 program under the VMEM cap (hardware-validated by
+    # scripts/check_fused_hw.py).
+    cap = MAX_VALIDATED_B_1SLOT if "head_scale" in qdec else MAX_VALIDATED_B
+    if B <= cap:
         return fused_decode_codebooks(
             qdec, config, x0, c0lg, gumbel, temperature,
             topk=topk, greedy=greedy, interpret=interpret,
         )  # [B, N]
     # Batches past the kernel's VMEM-validated cap split into sequential
-    # chunks of MAX_VALIDATED_B rows.  The noise table was built at full B
+    # chunks of ``cap`` rows.  The noise table was built at full B
     # above, so every row's draw is bitwise what the joint/per-stream XLA
     # semantics prescribe — slicing it keeps each chunk row-identical to
     # its solo run.  Cost per extra chunk = one weight reload into VMEM
-    # (~106 MB ≈ 0.13 ms at 819 GB/s) + the serial 31-step latency; far
+    # (~111 MB ≈ 0.14 ms at 819 GB/s) + the serial 31-step latency; far
     # cheaper than the XLA codebook loop, which re-reads the weights from
     # HBM on all 31 steps.
     outs = []
-    for s in range(0, B, MAX_VALIDATED_B):
-        e = min(s + MAX_VALIDATED_B, B)
+    for s in range(0, B, cap):
+        e = min(s + cap, B)
         outs.append(fused_decode_codebooks(
             qdec, config, x0[s:e], c0lg[s:e], gumbel[:, s:e], temperature,
             topk=topk, greedy=greedy, interpret=interpret,

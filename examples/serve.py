@@ -59,7 +59,12 @@ def main():
         from csm_tpu.ops.quant import prepare_quantized_backbone
 
         print("quantizing fast paths (one-time)...")
-        qdec = jax.jit(lambda p: prepare_fused_decoder(p, model.config))(model.params)
+        # Past 8 slots the int8 head serves every slot in ONE fused-decoder
+        # program (MAX_VALIDATED_B_1SLOT) instead of chunking at 8.
+        _hb = 8 if args.slots > 8 else 16
+        qdec = jax.jit(
+            lambda p: prepare_fused_decoder(p, model.config, head_bits=_hb)
+        )(model.params)
         qbb = jax.jit(lambda p: prepare_quantized_backbone(p, model.config))(model.params)
         from csm_tpu.ops.bb_kernel import MAX_VALIDATED_B
 

@@ -72,10 +72,13 @@ def main():
     )
 
     config = CSMConfig()
+    head_bits = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     params = jax.jit(lambda k: csm.init_params(k, config, jnp.bfloat16))(
         jax.random.key(0)
     )
-    qdec = jax.jit(lambda p: prepare_fused_decoder(p, config))(params)
+    qdec = jax.jit(
+        lambda p: prepare_fused_decoder(p, config, head_bits=head_bits)
+    )(params)
     np.asarray(qdec["s"]["wq"])
 
     N = config.audio_num_codebooks
@@ -123,7 +126,8 @@ def main():
         )
         print(f"kernel vs emulator  greedy={greedy}: {what}")
 
-    # Batched serving contract: B rows (default 8; pass argv[1] for 16),
+    # Batched serving contract: B rows (default 8; pass argv[1] for 16 —
+    # with argv[2]=8 for the int8 head that fits a single B=16 program),
     # per-stream noise.  Each row of the batched run and its solo run must
     # both track the emulator trajectory (identical inputs per row), with
     # any fork near-tie explained.
@@ -164,7 +168,10 @@ def main():
     from _bench_lib import record_check
 
     record_check(
-        "fused_decoder_kernel" + ("" if B == 8 else f"_B{B}"), ok,
+        "fused_decoder_kernel"
+        + ("" if B == 8 else f"_B{B}")
+        + ("" if head_bits == 16 else f"_h{head_bits}"),
+        ok,
         exact_rows=f"{exact_rows}/{2*B}",
     )
     sys.exit(0 if ok else 1)

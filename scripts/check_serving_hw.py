@@ -35,7 +35,12 @@ def main():
     params = jax.jit(lambda k: csm.init_params(k, config, jnp.bfloat16))(
         jax.random.key(0)
     )
-    qdec = jax.jit(lambda p: prepare_fused_decoder(p, config))(params)
+    # Past 8 slots the int8 head lets the fused decoder serve every slot in
+    # ONE program (fused_decoder.MAX_VALIDATED_B_1SLOT) instead of chunking.
+    head_bits = 8 if n_slots > 8 else 16
+    qdec = jax.jit(
+        lambda p: prepare_fused_decoder(p, config, head_bits=head_bits)
+    )(params)
     qbb = jax.jit(lambda p: prepare_quantized_backbone(p, config))(params)
     qsb = jax.jit(lambda p: prepare_streamed_backbone(p, config))(params)
     np.asarray(qsb["final_norm"])

@@ -239,3 +239,104 @@ def test_chunked_decode_past_validated_cap(setup):
     finally:
         fd.MAX_VALIDATED_B = orig
     np.testing.assert_array_equal(np.asarray(joint), np.asarray(mono))
+
+
+def test_single_slot_head_schedule_matches_two_slot(setup):
+    """Past MAX_VALIDATED_B the kernel switches to a SINGLE-buffered head
+    (start-after-consume) — the DMA schedule must not change any draw: a
+    direct B=9 program (head_slots=1) must equal per-row the B=1 runs
+    (head_slots=2)."""
+    config, params, qdec, *_ = setup
+    B = fd.MAX_VALIDATED_B + 1
+    last_h = jax.random.normal(
+        jax.random.key(31), (B, config.backbone.hidden_size), jnp.float32
+    )
+    c0_logits = jax.random.normal(
+        jax.random.key(32), (B, config.audio_vocab_size), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    x0 = (last_h @ params["projection"]).astype(jnp.float32)
+    N, Va = config.audio_num_codebooks, config.audio_vocab_size
+    keys_b = jax.vmap(lambda k: jax.random.split(k, N))(
+        jax.random.split(jax.random.key(33), B)
+    )
+    gumbel = jnp.swapaxes(
+        jax.vmap(
+            jax.vmap(lambda k: jax.random.gumbel(k, (1, Va), jnp.float32)[0])
+        )(keys_b), 0, 1,
+    )  # [N, B, Va]
+    out = fd.fused_decode_codebooks(
+        qdec, config, x0, c0_logits, gumbel, 0.8, topk=5, greedy=False,
+        interpret=True,
+    )
+    solo = np.stack([
+        np.asarray(fd.fused_decode_codebooks(
+            qdec, config, x0[b:b+1], c0_logits[b:b+1], gumbel[:, b:b+1],
+            0.8, topk=5, greedy=False, interpret=True,
+        ))[0]
+        for b in range(B)
+    ])
+    np.testing.assert_array_equal(np.asarray(out), solo)
+
+
+def test_int8_head_kernel_matches_emulator(setup):
+    """``prepare_fused_decoder(head_bits=8)``: the int8-head kernel is
+    bit-exact against the emulator's identical W8A16 head math, and the
+    quantized head logits stay close to the bf16 head's."""
+    config, params, _, last_h, c0_logits = setup
+    qdec8 = fd.prepare_fused_decoder(params, config, head_bits=8)
+    assert qdec8["audio_head"].dtype == jnp.int8
+    assert "head_scale" in qdec8
+    N, Va = config.audio_num_codebooks, config.audio_vocab_size
+    x0 = (last_h @ params["projection"]).astype(jnp.float32)
+    keys = jax.random.split(jax.random.key(42), N)
+    for greedy in (True, False):
+        gumbel = (
+            jnp.zeros((N, 1, Va), jnp.float32)
+            if greedy
+            else jax.vmap(
+                lambda k: jax.random.gumbel(k, (1, Va), jnp.float32)
+            )(keys)
+        )
+        em = fd.emulate_decode_codebooks(
+            qdec8, config, x0, c0_logits, gumbel, 0.8, topk=10, greedy=greedy
+        )
+        kr = fd.fused_decode_codebooks(
+            qdec8, config, x0, c0_logits, gumbel, 0.8, topk=10,
+            greedy=greedy, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(em), np.asarray(kr))
+    # Fidelity: per-channel int8 head reconstructs the bf16 head closely.
+    qdec16 = fd.prepare_fused_decoder(params, config)
+    recon = qdec8["audio_head"].astype(jnp.float32) * qdec8["head_scale"]
+    want = qdec16["audio_head"].astype(jnp.float32)
+    denom = float(jnp.abs(want).max())
+    assert float(jnp.abs(recon - want).max()) <= denom * 0.02
+
+
+def test_int8_head_raises_single_program_cap(setup):
+    """With the int8 head the wrapper runs one program up to
+    MAX_VALIDATED_B_1SLOT and chunks by it past that — rows bitwise equal
+    their solo runs either way."""
+    config, params, *_ = setup
+    qdec8 = fd.prepare_fused_decoder(params, config, head_bits=8)
+    B = fd.MAX_VALIDATED_B_1SLOT + 2  # 16-row chunk + 2-row remainder
+    last_h = jax.random.normal(
+        jax.random.key(51), (B, config.backbone.hidden_size), jnp.float32
+    )
+    c0_logits = jax.random.normal(
+        jax.random.key(52), (B, config.audio_vocab_size), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    keys = jax.random.split(jax.random.key(53), B)
+    out = fd.decode_frame_fused(
+        params, qdec8, config, last_h, c0_logits, keys, 0.8, 5, False,
+        interpret=True,
+    )
+    assert out.shape == (B, config.audio_num_codebooks)
+    solo = np.stack([
+        np.asarray(fd.decode_frame_fused(
+            params, qdec8, config, last_h[b:b+1], c0_logits[b:b+1],
+            keys[b:b+1], 0.8, 5, False, interpret=True,
+        ))[0]
+        for b in range(B)
+    ])
+    np.testing.assert_array_equal(np.asarray(out), solo)
