@@ -141,3 +141,11 @@ def test_quantized_generate_surface():
     assert out[0].shape == (1, 2, cfg.audio_num_codebooks)
     assert out[0].min() >= 0 and out[0].max() < cfg.audio_vocab_size
     np.testing.assert_array_equal(out[0], out[1])
+
+    # head_bits=8 (int8 audio_head tier) flows through the same surface.
+    model8 = CSMModel(cfg, seed=0).quantize(head_bits=8)
+    assert "head_scale" in model8._qdec
+    out8 = model8.generate(ids, mask, max_new_frames=2, greedy=True,
+                           stop_on_all_zeros=False, rng=jax.random.key(1))
+    assert out8.shape == (1, 2, cfg.audio_num_codebooks)
+    assert out8.min() >= 0 and out8.max() < cfg.audio_vocab_size
