@@ -218,18 +218,39 @@ def main():
     # weight stream / latency-bound serial matvecs — near-free aggregate
     # scaling).  Default emits batch-8 AND batch-16; --batch overrides.
     if not args.skip_batch and args.batch > 1:
+        from csm_tpu.ops.fused_decoder import (
+            MAX_VALIDATED_B as _fd_single_b,
+            MAX_VALIDATED_B_1SLOT as _fd_single_b_h8,
+        )
+
+        qdec_h8 = None
         batches = (8, 16) if args.batch == 8 else (args.batch,)
         for batch in batches:
             print(f"batch-{batch} aggregate...", file=sys.stderr)
+            q = qdec
+            head_bits = 16
+            if qdec is not None and _fd_single_b < batch <= _fd_single_b_h8:
+                # int8 audio_head: one fused-decoder program serves all 16
+                # rows instead of two sequential B=8 chunks (the head adds
+                # its own small quantization to the opt-in qdec numerics).
+                if qdec_h8 is None:
+                    from csm_tpu.ops.fused_decoder import prepare_fused_decoder
+
+                    qdec_h8 = jax.jit(
+                        lambda p: prepare_fused_decoder(p, config, head_bits=8)
+                    )(params)
+                    np.asarray(qdec_h8["head_scale"])
+                q, head_bits = qdec_h8, 8
             total, med, spread = timed(
                 batch, args.frames,
-                qdec if batch <= _qdec_max_b else None, args.reps
+                q if batch <= _qdec_max_b else None, args.reps
             )
             bfps = total / med
             _emit(
                 f"csm1b_frames_per_sec_batch{batch}_aggregate",
                 bfps, "frames/s", bfps / BASELINE_FPS,
                 reps=args.reps, spread_pct=spread,
+                fused_head_bits=head_bits,
             )
 
     # 3. p50 first-frame latency (prefill + one frame)

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--streamed", action="store_true",
                     help="route the backbone through the streamed-weight "
                     "kernel (qsb) instead of the W8A16 XLA path")
+    ap.add_argument("--head-bits", type=int, default=16, choices=(8, 16),
+                    help="fused-decoder audio_head precision (8 = int8 "
+                    "head: single program up to B=16)")
     args = ap.parse_args()
 
     setup_cache(jax)
@@ -47,7 +50,9 @@ def main():
     config = CSMConfig()
     B, CL, N_IT = args.batch, args.cache_len, args.iters
     params = jax.jit(lambda k: csm.init_params(k, config, jnp.bfloat16))(jax.random.key(0))
-    qdec = jax.jit(lambda p: prepare_fused_decoder(p, config))(params)
+    qdec = jax.jit(
+        lambda p: prepare_fused_decoder(p, config, head_bits=args.head_bits)
+    )(params)
     qbb = jax.jit(lambda p: prepare_quantized_backbone(p, config))(params)
     np.asarray(qdec["s"]["wq"]); np.asarray(qbb["s"]["wqkv"])
     qsb = None
