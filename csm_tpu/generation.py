@@ -91,10 +91,11 @@ def decode_frame(
     last_h: jnp.ndarray,  # [B, D] backbone hidden at the final position
     c0_logits: jnp.ndarray,  # [B, audio_vocab]
     rng: Optional[jax.Array],
-    temperature: float,
-    topk: int,
+    temperature,  # scalar, or [B] per-request (serving)
+    topk,  # int, or [B] int32 per-request (serving)
     greedy: bool,
     qdec: Optional[dict] = None,
+    greedy_rows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sample all 32 codebooks of one frame (``modeling_csm.py:522-577``).
 
@@ -126,7 +127,7 @@ def decode_frame(
 
         return decode_frame_fused(
             params, qdec, config, last_h, c0_logits, rng,
-            temperature, topk, greedy,
+            temperature, topk, greedy, greedy_rows=greedy_rows,
         )
     N = config.audio_num_codebooks
     proj = params["projection"]
@@ -136,8 +137,14 @@ def decode_frame(
     if _is_per_stream(rng):
         keys = jax.vmap(lambda k: jax.random.split(k, N))(rng)  # [B, N]
         keys = jnp.swapaxes(keys, 0, 1)  # [N, B]
-        draw = lambda ks, lg: sample_topk_batch(ks, lg, topk, temperature, greedy)
+        draw = lambda ks, lg: sample_topk_batch(
+            ks, lg, topk, temperature, greedy, greedy_rows=greedy_rows
+        )
     else:
+        if greedy_rows is not None:
+            raise ValueError(
+                "greedy_rows requires per-stream keys (a [B] rng array)"
+            )
         keys = jax.random.split(rng, N)
         draw = lambda k, lg: sample_topk(k, lg, topk, temperature, greedy)
 
@@ -193,14 +200,15 @@ def generate_frame(
     *,
     cache: Optional[KVCache] = None,
     rng: Optional[jax.Array] = None,
-    temperature: float = 1.0,
-    topk: int = 50,
+    temperature=1.0,
+    topk=50,
     greedy: bool = False,
     true_len: Optional[jnp.ndarray] = None,
     flash_prefill: bool = False,
     qdec: Optional[dict] = None,
     qbb: Optional[dict] = None,
     qsb: Optional[dict] = None,
+    greedy_rows: Optional[jnp.ndarray] = None,
 ) -> csm.CSMOutput:
     """Generate one frame's 32 codebooks (reference
     ``generate_frame``, ``modeling_csm.py:484-589``).
@@ -208,6 +216,10 @@ def generate_frame(
     ``true_len``: when ``input_ids`` is right-padded to a shape bucket, the
     number of real frames; the cache index is pinned there so subsequent
     decode steps overwrite the bucket padding.
+
+    ``temperature`` / ``topk`` may be ``[B]`` per-request vectors and
+    ``greedy_rows`` a ``[B]`` bool mask (with per-stream ``rng``) — the
+    per-request serving path; see :func:`decode_frame`.
     """
     out = csm.forward(
         params, config, input_ids, attention_mask, cache=cache,
@@ -220,7 +232,7 @@ def generate_frame(
         new_cache = new_cache.replace(index=start + true_len)
     samples = decode_frame(
         params, config, out.last_hidden_state, out.logits,
-        rng, temperature, topk, greedy, qdec=qdec,
+        rng, temperature, topk, greedy, qdec=qdec, greedy_rows=greedy_rows,
     )
     return csm.CSMOutput(
         last_hidden_state=out.last_hidden_state,

@@ -305,14 +305,16 @@ def _attend_merged(
 def _sample_row(
     logits: jnp.ndarray,  # [B, V] f32
     gumbel: jnp.ndarray,  # [B, V] f32
-    temperature,  # scalar f32
-    topk: int,
+    temperature,  # scalar f32 or [B, 1] per-row
+    topk,  # int or [B, 1] int32 per-row
     greedy: bool,
 ) -> jnp.ndarray:
     """One Gumbel-top-k draw per row (ties at the k-th value kept, as in
     :func:`csm_tpu.ops.sampling.topk_mask`).  Each row's k-th largest value
     is found EXACTLY by bisection over orderable float bit patterns — no
-    sort.  Returns ``[B]`` int32.
+    sort.  ``temperature`` / ``topk`` may be per-row ``[B, 1]`` vectors
+    (the per-request serving path): the bisection count compare is already
+    row-shaped, so per-row k is free.  Returns ``[B]`` int32.
 
     Argmax is spelled as "smallest index among the maxima": bf16-rounded
     logits make EXACT ties common (~2051 values land in a few hundred bf16
@@ -429,7 +431,6 @@ def _decoder_pass(
 
 def _make_kernel(
     config: CSMConfig,
-    topk: int,
     greedy: bool,
     head_dtype,
     B: int,
@@ -448,7 +449,8 @@ def _make_kernel(
     sub = Dd // lanes
 
     def kernel(
-        temp_ref,  # SMEM (1,) f32
+        temp_ref,  # VMEM (B, 1) f32 — per-row temperature
+        topk_ref,  # VMEM (B, 1) int32 — per-row top-k
         x0_ref,  # VMEM (B, Dd) f32 — proj(last_h)
         c0lg_ref,  # VMEM (B, Va_pad) f32 — backbone c0 logits (bf16-rounded)
         wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused, norm-folded)
@@ -469,7 +471,8 @@ def _make_kernel(
     ):
         w_refs = dict(zip(_KERNEL_MATS, (wqkv, wo, wgu, wd)))
         s_refs = dict(zip(_KERNEL_MATS, (sqkv, so, sgu, sd)))
-        temp = temp_ref[0]
+        temp = temp_ref[...]  # [B, 1]
+        topk = topk_ref[...]  # [B, 1]
 
         def head_dma(slot, i):
             return pltpu.make_async_copy(
@@ -600,7 +603,7 @@ def _make_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "topk", "greedy", "interpret")
+    jax.jit, static_argnames=("config", "greedy", "interpret")
 )
 def fused_decode_codebooks(
     qdec: dict,
@@ -608,9 +611,9 @@ def fused_decode_codebooks(
     x0: jnp.ndarray,  # [B, Dd] f32 — proj(last_h)
     c0_logits: jnp.ndarray,  # [B, Va] f32 (bf16-rounded backbone logits)
     gumbel: jnp.ndarray,  # [N, B, Va] f32 — row i: codebook i's noise
-    temperature,  # scalar f32
+    temperature,  # scalar f32 or [B] per-row
     *,
-    topk: int,
+    topk,  # int or [B] int32 per-row (dynamic: never triggers a recompile)
     greedy: bool,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -644,8 +647,15 @@ def fused_decode_codebooks(
     # the B=16 program under the VMEM cap.
     head_slots = 2 if B <= MAX_VALIDATED_B else 1
     kernel = _make_kernel(
-        config, topk, greedy, head_dtype, B, head_slots, head_scaled
+        config, greedy, head_dtype, B, head_slots, head_scaled
     )
+    temp_v = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32).reshape(-1), (B,)
+    ).reshape(B, 1)
+    topk_v = jnp.clip(
+        jnp.broadcast_to(jnp.asarray(topk, jnp.int32).reshape(-1), (B,)),
+        1, Va,
+    ).reshape(B, 1)
     hs = (
         qdec["head_scale"]
         if head_scaled
@@ -657,7 +667,7 @@ def fused_decode_codebooks(
         qdec["s"][m] for m in _KERNEL_MATS
     ]
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM), vm, vm]
+        [vm, vm, vm, vm]  # temp, topk, x0, c0 logits
         + [vm] * (2 * len(_KERNEL_MATS))
         + [vm] * 3  # rope tables + head rescale
         + [pl.BlockSpec(memory_space=pl.ANY)] * 3  # gumbel, head, emb tables
@@ -694,7 +704,8 @@ def fused_decode_codebooks(
         ),
         interpret=interpret,
     )(
-        jnp.asarray(temperature, jnp.float32).reshape(1),
+        temp_v,
+        topk_v,
         x0.astype(jnp.float32),
         c0_logits,
         *weights,
@@ -719,7 +730,7 @@ def emulate_decode_codebooks(
     gumbel: jnp.ndarray,  # [N, 1, Va] f32
     temperature,
     *,
-    topk: int,
+    topk,
     greedy: bool,
     return_logits: bool = False,
 ) -> jnp.ndarray:
@@ -787,11 +798,18 @@ def emulate_decode_codebooks(
         h_last = h[T - 1 : T, :]
         return kv_k, kv_v, h_last * _rms_scale(h_last, eps)
 
+    # Normalize temp/topk to the kernel's per-row [1, 1] vectors (B=1 here).
+    temp_v = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32).reshape(-1), (1,)
+    ).reshape(1, 1)
+    topk_v = jnp.clip(
+        jnp.broadcast_to(jnp.asarray(topk, jnp.int32).reshape(-1), (1,)),
+        1, Va,
+    ).reshape(1, 1)
+
     # c0: in-kernel sampling semantics (padded lanes masked, raw logits)
     lg0 = jnp.where(vcol < Va, c0_logits, NEG_INF)
-    c0 = _sample_row(
-        lg0, gumbel[0], jnp.asarray(temperature, jnp.float32), topk, greedy
-    )
+    c0 = _sample_row(lg0, gumbel[0], temp_v, topk_v, greedy)
     x_prefill = jnp.concatenate(
         [x0.astype(jnp.float32), proj_emb_flat[c0[0]][None, :].astype(jnp.float32)],
         axis=0,
@@ -814,10 +832,7 @@ def emulate_decode_codebooks(
         logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
         logits = jnp.where(vcol < Va, logits, NEG_INF)
         all_logits.append(logits[0])
-        ci = _sample_row(
-            logits, gumbel[i], jnp.asarray(temperature, jnp.float32),
-            topk, greedy,
-        )
+        ci = _sample_row(logits, gumbel[i], temp_v, topk_v, greedy)
         samples.append(ci[0])
         x = proj_emb_flat[ci[0] + i * Va][None, :]
         kv_k, kv_v, h_last = dec_pass(kv_k, kv_v, x, i + 1, 1)
@@ -840,10 +855,11 @@ def decode_frame_fused(
     c0_logits: jnp.ndarray,  # [B, Va]
     rng: Optional[jax.Array],
     temperature,
-    topk: int,
+    topk,
     greedy: bool,
     *,
     interpret: Optional[bool] = None,
+    greedy_rows: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sample one frame's 32 codebooks per stream using the fused kernel.
 
@@ -857,6 +873,13 @@ def decode_frame_fused(
     draws, like the reference's batched sampler) or a ``[B]`` key array
     (per-stream draws: each row matches its solo run — the
     continuous-batching serving contract).
+
+    Per-request serving extras: ``temperature`` / ``topk`` may be ``[B]``
+    arrays, and ``greedy_rows`` (``[B]`` bool) makes the marked rows
+    deterministic — implemented as top-1 with that row's Gumbel noise
+    zeroed, which is exactly the greedy argmax (first-occurrence ties).
+    All three are DYNAMIC kernel inputs: mixing per-request parameters
+    never triggers a recompile.
     """
     B = last_h.shape[0]
     if interpret is None:
@@ -884,6 +907,16 @@ def decode_frame_fused(
             lambda k: jax.random.gumbel(k, (B, Va), jnp.float32)
         )(keys)
 
+    # Per-row parameter vectors (dynamic kernel inputs).
+    temp_b = jnp.broadcast_to(
+        jnp.asarray(temperature, jnp.float32).reshape(-1), (B,)
+    )
+    topk_b = jnp.broadcast_to(jnp.asarray(topk, jnp.int32).reshape(-1), (B,))
+    if greedy_rows is not None:
+        gr = jnp.asarray(greedy_rows).reshape(B)
+        topk_b = jnp.where(gr, 1, topk_b)
+        gumbel = gumbel * (1.0 - gr.astype(jnp.float32))[None, :, None]
+
     x0 = last_h @ params["projection"]  # [B, Dd]
     x0 = x0.astype(jnp.float32)
     c0lg = c0_logits.astype(jnp.float32)
@@ -894,8 +927,8 @@ def decode_frame_fused(
     cap = MAX_VALIDATED_B_1SLOT if "head_scale" in qdec else MAX_VALIDATED_B
     if B <= cap:
         return fused_decode_codebooks(
-            qdec, config, x0, c0lg, gumbel, temperature,
-            topk=topk, greedy=greedy, interpret=interpret,
+            qdec, config, x0, c0lg, gumbel, temp_b,
+            topk=topk_b, greedy=greedy, interpret=interpret,
         )  # [B, N]
     # Batches past the kernel's VMEM-validated cap split into sequential
     # chunks of ``cap`` rows.  The noise table was built at full B
@@ -909,7 +942,7 @@ def decode_frame_fused(
     for s in range(0, B, cap):
         e = min(s + cap, B)
         outs.append(fused_decode_codebooks(
-            qdec, config, x0[s:e], c0lg[s:e], gumbel[:, s:e], temperature,
-            topk=topk, greedy=greedy, interpret=interpret,
+            qdec, config, x0[s:e], c0lg[s:e], gumbel[:, s:e], temp_b[s:e],
+            topk=topk_b[s:e], greedy=greedy, interpret=interpret,
         ))
     return jnp.concatenate(outs, axis=0)  # [B, N]

@@ -234,33 +234,42 @@ class CSMServer:
         self._qdec = qdec
         self._qbb = qbb
         self._qsb = qsb
+        # Per-request sampling parameters ride as DYNAMIC [n_slots] vectors
+        # (per-row temperature / top-k / greedy mask — see
+        # ops.fused_decoder._sample_row): mixing parameters never triggers
+        # a recompile.  A server built with ``greedy=True`` compiles the
+        # deterministic program instead and ignores per-request overrides.
         self._prefill = jax.jit(
-            lambda p, ids, mask, tl, cache, keys, qd: generate_frame(
+            lambda p, ids, mask, tl, cache, keys, qd, tv, kv, gv: generate_frame(
                 p, config, ids, mask, cache=cache, rng=keys,
-                temperature=temperature, topk=topk, greedy=greedy,
+                temperature=tv, topk=kv, greedy=greedy,
                 true_len=tl, flash_prefill=True, qdec=qd,
+                greedy_rows=None if greedy else gv,
             )
         )
         self._step = jax.jit(
-            lambda p, ids, mask, cache, keys, qd, qb, qs: generate_frame(
+            lambda p, ids, mask, cache, keys, qd, qb, qs, tv, kv, gv:
+            generate_frame(
                 p, config, ids, mask, cache=cache, rng=keys,
-                temperature=temperature, topk=topk, greedy=greedy,
+                temperature=tv, topk=kv, greedy=greedy,
                 qdec=qd, qbb=qb, qsb=qs,
+                greedy_rows=None if greedy else gv,
             )
         )
 
         # Device-side multi-step loop: one dispatch advances every slot by
         # ``n`` frames (a lax.scan of the step body) — host round-trip cost
         # amortizes over the chunk.  Admission only happens between chunks.
-        def _steps(p, cache, rngs, last, qd, qb, qs, n):
+        def _steps(p, cache, rngs, last, qd, qb, qs, tv, kv, gv, n):
             def body(carry, _):
                 cache, rngs, last = carry
                 ids, mask = _next_frame_inputs(config, last)
                 pair = jax.vmap(jax.random.split)(rngs)
                 out = generate_frame(
                     p, config, ids, mask, cache=cache, rng=pair[:, 1],
-                    temperature=temperature, topk=topk, greedy=greedy,
+                    temperature=tv, topk=kv, greedy=greedy,
                     qdec=qd, qbb=qb, qsb=qs,
+                    greedy_rows=None if greedy else gv,
                 )
                 return (out.cache, pair[:, 0], out.samples), out.samples
 
@@ -292,10 +301,18 @@ class CSMServer:
         self._slot_req = [None] * n_slots  # request id per slot
         self._depth = np.zeros(n_slots, np.int64)  # host mirror of index
         self._budget = np.zeros(n_slots, np.int64)
+        # Per-slot sampling parameters (host mirrors of the step vectors);
+        # server-level values are the defaults for requests that don't
+        # override them.
+        self._temp_v = np.full(n_slots, temperature, np.float32)
+        self._topk_v = np.full(n_slots, topk, np.int32)
+        self._greedy_v = np.zeros(n_slots, bool)
         self._pending: list = []
         self._next_id = 0
         self.results: dict = {}
         self._frames: dict = {}
+        self._default_temp = float(temperature)
+        self._default_topk = int(topk)
 
     # ------------------------------------------------------------------
 
@@ -304,9 +321,18 @@ class CSMServer:
         return [s for s in range(self.n_slots) if self._slot_req[s] is not None]
 
     def submit(self, input_ids, attention_mask, rng=None,
-               max_new_frames: Optional[int] = None) -> int:
+               max_new_frames: Optional[int] = None,
+               temperature: Optional[float] = None,
+               topk: Optional[int] = None,
+               greedy: bool = False) -> int:
         """Queue a request; admit it immediately if a slot is free.
-        Returns the request id (key into :attr:`results` when finished)."""
+        Returns the request id (key into :attr:`results` when finished).
+
+        ``temperature`` / ``topk`` / ``greedy`` override the server-level
+        sampling parameters for THIS request only (per-row dynamic inputs —
+        no recompile).  ``greedy=True`` makes the request deterministic
+        (exactly argmax) while other slots keep sampling; it is ignored on
+        a server built with ``greedy=True`` (already deterministic)."""
         rid = self._next_id
         self._next_id += 1
         if rng is None:
@@ -314,6 +340,9 @@ class CSMServer:
         self._pending.append((
             rid, np.asarray(input_ids), np.asarray(attention_mask, np.float32),
             rng, max_new_frames or self.default_max_new_frames,
+            self._default_temp if temperature is None else float(temperature),
+            self._default_topk if topk is None else int(topk),
+            bool(greedy),
         ))
         self._drain_pending()
         return rid
@@ -323,10 +352,14 @@ class CSMServer:
             free = [s for s in range(self.n_slots) if self._slot_req[s] is None]
             if not free:
                 return
-            rid, ids, mask, rng, budget = self._pending.pop(0)
-            self._admit_request(free[0], rid, ids, mask, rng, budget)
+            rid, ids, mask, rng, budget, temp, k, gr = self._pending.pop(0)
+            self._admit_request(free[0], rid, ids, mask, rng, budget,
+                                temp, k, gr)
 
-    def _admit_request(self, slot, rid, ids, mask, rng, budget):
+    def _admit_request(self, slot, rid, ids, mask, rng, budget,
+                       temp=None, k=None, gr=False):
+        temp = self._default_temp if temp is None else temp
+        k = self._default_topk if k is None else k
         B, S, W = ids.shape
         assert B == 1, "submit one conversation per request"
         Sb = _bucket(S, buckets=(32, 64, 128, 256, 512, 1024, 2048))
@@ -345,6 +378,9 @@ class CSMServer:
         out = self._prefill(
             self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
             small, k0[None], self._qdec,
+            jnp.full((1,), temp, jnp.float32),
+            jnp.full((1,), k, jnp.int32),
+            jnp.full((1,), gr, bool),
         )
 
         self.cache, self._rngs, self._last = self._admit(
@@ -354,6 +390,9 @@ class CSMServer:
         self._slot_req[slot] = rid
         self._depth[slot] = S
         self._budget[slot] = budget
+        self._temp_v[slot] = temp
+        self._topk_v[slot] = k
+        self._greedy_v[slot] = gr
         self._frames[rid] = []
         self._observe(slot, np.asarray(out.samples)[0])
 
@@ -392,6 +431,8 @@ class CSMServer:
         out = self._step(
             self.params, ids, mask, self.cache, pair[:, 1],
             self._qdec, self._qbb, self._qsb,
+            jnp.asarray(self._temp_v), jnp.asarray(self._topk_v),
+            jnp.asarray(self._greedy_v),
         )
         self.cache = out.cache
         self._last = out.samples
@@ -417,7 +458,9 @@ class CSMServer:
         rid_at_start = list(self._slot_req)
         cache, rngs, last, frames = self._step_many(
             self.params, self.cache, self._rngs, self._last,
-            self._qdec, self._qbb, self._qsb, n,
+            self._qdec, self._qbb, self._qsb,
+            jnp.asarray(self._temp_v), jnp.asarray(self._topk_v),
+            jnp.asarray(self._greedy_v), n,
         )
         self.cache, self._rngs, self._last = cache, rngs, last
         frames = np.asarray(frames)  # [n, B, 32]

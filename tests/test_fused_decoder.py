@@ -313,6 +313,54 @@ def test_int8_head_kernel_matches_emulator(setup):
     assert float(jnp.abs(recon - want).max()) <= denom * 0.02
 
 
+def test_per_row_sampling_params_match_solo(setup):
+    """Per-row temperature/topk vectors and greedy_rows through the fused
+    kernel: each batched row is bitwise the solo run with that row's scalar
+    parameters; a greedy row equals the greedy=True program's row."""
+    config, params, qdec, *_ = setup
+    B = 3
+    temps = [1.0, 0.7, 1.3]
+    topks = [5, 3, 50]
+    last_h = jax.random.normal(
+        jax.random.key(61), (B, config.backbone.hidden_size), jnp.float32
+    )
+    c0_logits = jax.random.normal(
+        jax.random.key(62), (B, config.audio_vocab_size), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    keys = jax.random.split(jax.random.key(63), B)
+
+    out = fd.decode_frame_fused(
+        params, qdec, config, last_h, c0_logits, keys,
+        jnp.asarray(temps, jnp.float32), jnp.asarray(topks, jnp.int32),
+        False, interpret=True,
+    )
+    solo = np.stack([
+        np.asarray(fd.decode_frame_fused(
+            params, qdec, config, last_h[b:b+1], c0_logits[b:b+1],
+            keys[b:b+1], temps[b], topks[b], False, interpret=True,
+        ))[0]
+        for b in range(B)
+    ])
+    np.testing.assert_array_equal(np.asarray(out), solo)
+
+    # greedy_rows: row 1 deterministic inside the sampled batch == the
+    # greedy program's row (top-1 + zeroed noise ≡ argmax).
+    gr = jnp.asarray([False, True, False])
+    out_g = fd.decode_frame_fused(
+        params, qdec, config, last_h, c0_logits, keys,
+        jnp.asarray(temps, jnp.float32), jnp.asarray(topks, jnp.int32),
+        False, interpret=True, greedy_rows=gr,
+    )
+    want_greedy = np.asarray(fd.decode_frame_fused(
+        params, qdec, config, last_h[1:2], c0_logits[1:2], keys[1:2],
+        1.0, 50, True, interpret=True,
+    ))[0]
+    np.testing.assert_array_equal(np.asarray(out_g)[1], want_greedy)
+    # Non-greedy rows are untouched by the mask.
+    np.testing.assert_array_equal(np.asarray(out_g)[0], solo[0])
+    np.testing.assert_array_equal(np.asarray(out_g)[2], solo[2])
+
+
 def test_int8_head_raises_single_program_cap(setup):
     """With the int8 head the wrapper runs one program up to
     MAX_VALIDATED_B_1SLOT and chunks by it past that — rows bitwise equal

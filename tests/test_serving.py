@@ -192,6 +192,54 @@ def test_continuous_batching_queues_when_full():
         np.testing.assert_array_equal(server.results[rid], solo)
 
 
+def test_per_request_sampling_params():
+    """Per-request temperature / topk / greedy (dynamic per-row vectors):
+    three concurrent requests with DIFFERENT parameters each match the solo
+    run with those parameters token-for-token — including a greedy request
+    inside a sampled batch (top-1 + zeroed noise ≡ argmax)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.generation import generate_compiled
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    budget = 5
+
+    server = CSMServer(
+        params, cfg, n_slots=3, window=64,
+        temperature=0.9, topk=5, greedy=False, max_new_frames=budget,
+    )
+    reqs = [
+        # (seed, prompt_len, temperature, topk, greedy)
+        (1, 6, None, None, False),   # server defaults (0.9 / 5)
+        (2, 9, 1.3, 3, False),       # its own temp + topk
+        (3, 7, None, None, True),    # deterministic inside a sampled batch
+    ]
+    keys = [jax.random.key(40 + i) for i in range(len(reqs))]
+    rids = []
+    for (seed, S, t, k, g), key in zip(reqs, keys):
+        ids, mask = _prompt(cfg, S, seed=seed)
+        rids.append(server.submit(ids, mask, rng=key, temperature=t,
+                                  topk=k, greedy=g))
+    server.run_until_idle()
+
+    for (seed, S, t, k, g), key, rid in zip(reqs, keys, rids):
+        ids, mask = _prompt(cfg, S, seed=seed)
+        frames, n = generate_compiled(
+            params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.int32(S), key[None],
+            max_new_frames=budget,
+            temperature=0.9 if t is None else t,
+            topk=5 if k is None else k, greedy=g,
+            stop_on_all_zeros=True, stop_mode="stream", cache_len=64,
+        )
+        solo = np.asarray(frames)[0, : int(np.asarray(n)[0])]
+        np.testing.assert_array_equal(server.results[rid], solo)
+
+
 def test_step_many_chunked_matches_single_steps():
     """run_until_idle(chunk=4) (device-side multi-step scan) produces the
     same results as per-frame stepping, including mid-flight admission at
