@@ -67,7 +67,15 @@ def main():
     rids = []
     for i in range(n_slots):
         ids, mask = prompt(16 + 8 * i, seed=i)
-        rids.append(server.submit(ids, mask, rng=jax.random.key(50 + i)))
+        # Exercise per-request sampling params on hardware: one greedy
+        # request and one with its own temp/topk ride inside the sampled
+        # batch (dynamic per-row vectors — no recompile).
+        kw = {}
+        if i == 1:
+            kw = dict(greedy=True)
+        elif i == 2:
+            kw = dict(temperature=0.7, topk=10)
+        rids.append(server.submit(ids, mask, rng=jax.random.key(50 + i), **kw))
     # a few single steps, then a late join mid-flight, then a chunk
     server.step()
     server.step()
