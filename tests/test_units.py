@@ -131,6 +131,50 @@ def test_sample_topk_restricts_support():
     assert (masked[0, 1:3] == 3.0).all() and masked[0, 0] < -1e8
 
 
+def test_per_row_topk_and_batch_sampler():
+    """Per-row dynamic parameters: the traced-k sort path of topk_mask
+    matches the static lax.top_k path row-for-row (incl. k=1, k=V, ties),
+    and sample_topk_batch with per-row (k, temp) vectors is bitwise each
+    row's solo static-parameter draw; greedy_rows rows equal argmax."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.ops.sampling import sample_topk, sample_topk_batch, topk_mask
+
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.standard_normal((4, 50)), jnp.float32)
+    # duplicate a k-th value to cover tie handling in the dynamic path
+    logits = logits.at[2, 10].set(logits[2, 11])
+    ks = [1, 3, 50, 7]
+    dyn = np.asarray(
+        jax.jit(topk_mask)(logits, jnp.asarray(ks, jnp.int32))
+    )
+    for b, k in enumerate(ks):
+        stat = np.asarray(topk_mask(logits[b : b + 1], k))[0]
+        np.testing.assert_array_equal(dyn[b], stat)
+
+    keys = jax.random.split(jax.random.key(3), 4)
+    temps = [0.7, 1.0, 1.4, 0.9]
+    batched = np.asarray(sample_topk_batch(
+        keys, logits, jnp.asarray(ks, jnp.int32),
+        jnp.asarray(temps, jnp.float32),
+    ))
+    for b in range(4):
+        solo = np.asarray(
+            sample_topk(keys[b], logits[b : b + 1], ks[b], temps[b])
+        )[0]
+        assert batched[b] == solo
+
+    gr = jnp.asarray([False, True, False, True])
+    mixed = np.asarray(sample_topk_batch(
+        keys, logits, jnp.asarray(ks, jnp.int32),
+        jnp.asarray(temps, jnp.float32), greedy_rows=gr,
+    ))
+    want = np.asarray(jnp.argmax(logits, axis=-1))
+    assert mixed[1] == want[1] and mixed[3] == want[3]
+    assert mixed[0] == batched[0] and mixed[2] == batched[2]
+
+
 def test_sample_topk_distribution():
     """Empirical frequencies match the top-k softmax distribution."""
     import jax
