@@ -241,10 +241,24 @@ def main():
                     )(params)
                     np.asarray(qdec_h8["head_scale"])
                 q, head_bits = qdec_h8, 8
-            total, med, spread = timed(
-                batch, args.frames,
-                q if batch <= _qdec_max_b else None, args.reps
-            )
+            try:
+                total, med, spread = timed(
+                    batch, args.frames,
+                    q if batch <= _qdec_max_b else None, args.reps
+                )
+            except Exception as e:  # noqa: BLE001
+                if head_bits != 8:
+                    raise
+                # Single-program B=16 (int8 head) failed on this chip —
+                # fall back to the validated chunked bf16-head path so the
+                # aggregate line still lands.
+                print(f"int8-head single program failed ({type(e).__name__}); "
+                      "falling back to chunked bf16-head", file=sys.stderr)
+                q, head_bits = qdec, 16
+                total, med, spread = timed(
+                    batch, args.frames,
+                    q if batch <= _qdec_max_b else None, args.reps
+                )
             bfps = total / med
             _emit(
                 f"csm1b_frames_per_sec_batch{batch}_aggregate",
