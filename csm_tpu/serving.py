@@ -195,6 +195,11 @@ class CSMServer:
       (:func:`csm_tpu.ops.sampling.sample_topk_batch`) make every request's
       token stream equal to its solo run — batch composition cannot change
       outputs (token-for-token, greedy or sampled);
+    - per-REQUEST sampling parameters
+      (``submit(..., temperature=, topk=, greedy=)``): temperature/top-k
+      ride as dynamic per-row vectors (no recompile when they mix), and a
+      greedy request inside a sampled batch is exactly argmax (top-1 with
+      zeroed Gumbel noise);
     - finished slots keep stepping on garbage (their writes land in a slot
       that admission fully overwrites) — the batch shape never changes, so
       there is exactly one compiled step program.
