@@ -252,6 +252,17 @@ class CSMServer:
                 greedy_rows=None if greedy else gv,
             )
         )
+        # Continuation prefill against a PREFIX-seeded cache (cache.index
+        # > 0): the flash prefill kernel assumes queries start at absolute
+        # position 0, so this twin program takes the masked-bias path.
+        self._prefill_cont = jax.jit(
+            lambda p, ids, mask, tl, cache, keys, qd, tv, kv, gv: generate_frame(
+                p, config, ids, mask, cache=cache, rng=keys,
+                temperature=tv, topk=kv, greedy=greedy,
+                true_len=tl, flash_prefill=False, qdec=qd,
+                greedy_rows=None if greedy else gv,
+            )
+        )
         self._step = jax.jit(
             lambda p, ids, mask, cache, keys, qd, qb, qs, tv, kv, gv:
             generate_frame(
@@ -318,6 +329,7 @@ class CSMServer:
         self._frames: dict = {}
         self._default_temp = float(temperature)
         self._default_topk = int(topk)
+        self._prefixes: dict = {}  # prefix_id -> (seeded KVCache, n_frames)
 
     # ------------------------------------------------------------------
 
@@ -325,11 +337,57 @@ class CSMServer:
     def active_slots(self):
         return [s for s in range(self.n_slots) if self._slot_req[s] is not None]
 
+    def register_prefix(self, input_ids, attention_mask) -> int:
+        """Prefill a shared conversation prefix ONCE (e.g. the voice-cloning
+        context clip + transcript of the README recipe) and cache its K/V on
+        device; requests submitted with ``prefix_id=`` start from it and
+        prefill only their own continuation frames.
+
+        Returns a prefix id.  Each registration holds one window-sized
+        KVCache on HBM until :meth:`drop_prefix`.  The token streams are
+        the same as submitting ``[prefix; continuation]`` as one prompt —
+        the cached path always attends over the full static window, so the
+        math is identical (tested)."""
+        ids = np.asarray(input_ids)
+        mask = np.asarray(attention_mask, np.float32)
+        B, S, W = ids.shape
+        assert B == 1, "register one conversation prefix at a time"
+        if S >= self.window:
+            raise ValueError(
+                f"prefix ({S}) must leave room in the window ({self.window})"
+            )
+        Sb = _bucket(S, buckets=(32, 64, 128, 256, 512, 1024, 2048))
+        Sb = min(Sb, self.window)
+        if Sb > S:
+            ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], 1)
+            mask = np.concatenate(
+                [mask, np.zeros((B, Sb - S, W), mask.dtype)], 1
+            )
+        dtype = self.params["backbone"]["final_norm"].dtype
+        small = KVCache.create(self.config.backbone, 1, self.window, dtype=dtype)
+        # Reuse the compiled prefill program; the sampled frame is discarded
+        # (sampling never writes the cache).
+        out = self._prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
+            small, jax.random.key(0)[None], self._qdec,
+            jnp.ones((1,), jnp.float32),
+            jnp.full((1,), self._default_topk, jnp.int32),
+            jnp.zeros((1,), bool),
+        )
+        pid = f"prefix-{len(self._prefixes)}"
+        self._prefixes[pid] = (out.cache, S)
+        return pid
+
+    def drop_prefix(self, prefix_id) -> None:
+        """Release a registered prefix's device memory."""
+        self._prefixes.pop(prefix_id, None)
+
     def submit(self, input_ids, attention_mask, rng=None,
                max_new_frames: Optional[int] = None,
                temperature: Optional[float] = None,
                topk: Optional[int] = None,
-               greedy: bool = False) -> int:
+               greedy: bool = False,
+               prefix_id=None) -> int:
         """Queue a request; admit it immediately if a slot is free.
         Returns the request id (key into :attr:`results` when finished).
 
@@ -337,7 +395,11 @@ class CSMServer:
         sampling parameters for THIS request only (per-row dynamic inputs —
         no recompile).  ``greedy=True`` makes the request deterministic
         (exactly argmax) while other slots keep sampling; it is ignored on
-        a server built with ``greedy=True`` (already deterministic)."""
+        a server built with ``greedy=True`` (already deterministic).
+
+        ``prefix_id`` (from :meth:`register_prefix`): ``input_ids`` is then
+        the CONTINUATION only — the prefix's cached K/V seeds the slot and
+        only the continuation frames are prefilled."""
         rid = self._next_id
         self._next_id += 1
         if rng is None:
@@ -347,7 +409,7 @@ class CSMServer:
             rng, max_new_frames or self.default_max_new_frames,
             self._default_temp if temperature is None else float(temperature),
             self._default_topk if topk is None else int(topk),
-            bool(greedy),
+            bool(greedy), prefix_id,
         ))
         self._drain_pending()
         return rid
@@ -357,30 +419,48 @@ class CSMServer:
             free = [s for s in range(self.n_slots) if self._slot_req[s] is None]
             if not free:
                 return
-            rid, ids, mask, rng, budget, temp, k, gr = self._pending.pop(0)
+            rid, ids, mask, rng, budget, temp, k, gr, pid = self._pending.pop(0)
             self._admit_request(free[0], rid, ids, mask, rng, budget,
-                                temp, k, gr)
+                                temp, k, gr, pid)
 
     def _admit_request(self, slot, rid, ids, mask, rng, budget,
-                       temp=None, k=None, gr=False):
+                       temp=None, k=None, gr=False, prefix_id=None):
         temp = self._default_temp if temp is None else temp
         k = self._default_topk if k is None else k
         B, S, W = ids.shape
         assert B == 1, "submit one conversation per request"
+        if prefix_id is not None:
+            pre_cache, S0 = self._prefixes[prefix_id]
+        else:
+            pre_cache, S0 = None, 0
         Sb = _bucket(S, buckets=(32, 64, 128, 256, 512, 1024, 2048))
         Sb = min(Sb, self.window)
-        if S > self.window:
-            raise ValueError(f"prompt ({S}) exceeds the serving window ({self.window})")
+        if S0 + S > self.window:
+            raise ValueError(
+                f"prompt ({S0}+{S}) exceeds the serving window ({self.window})"
+            )
+        if S0 + Sb > self.window:
+            raise ValueError(
+                f"prefix ({S0}) + continuation bucket ({Sb}) exceed the "
+                f"serving window ({self.window}); shorten one of them"
+            )
         if Sb > S:
             ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], 1)
             mask = np.concatenate([mask, np.zeros((B, Sb - S, W), mask.dtype)], 1)
 
         dtype = self.params["backbone"]["final_norm"].dtype
-        small = KVCache.create(self.config.backbone, 1, self.window, dtype=dtype)
+        if pre_cache is None:
+            small = KVCache.create(
+                self.config.backbone, 1, self.window, dtype=dtype
+            )
+            fill = self._prefill
+        else:
+            small = pre_cache  # shared, never donated — reusable across slots
+            fill = self._prefill_cont  # bias path: queries start at S0 > 0
         # Same key schedule as a solo generate_compiled(rng=[key]) run.
         pair = jax.random.split(rng)
         rng, k0 = pair[0], pair[1]
-        out = self._prefill(
+        out = fill(
             self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
             small, k0[None], self._qdec,
             jnp.full((1,), temp, jnp.float32),
@@ -389,11 +469,11 @@ class CSMServer:
         )
 
         self.cache, self._rngs, self._last = self._admit(
-            self.cache, out.cache, slot, jnp.int32(S),
+            self.cache, out.cache, slot, jnp.int32(S0 + S),
             self._rngs, rng, out.samples, self._last,
         )
         self._slot_req[slot] = rid
-        self._depth[slot] = S
+        self._depth[slot] = S0 + S
         self._budget[slot] = budget
         self._temp_v[slot] = temp
         self._topk_v[slot] = k

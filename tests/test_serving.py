@@ -240,6 +240,54 @@ def test_per_request_sampling_params():
         np.testing.assert_array_equal(server.results[rid], solo)
 
 
+@pytest.mark.parametrize("greedy", [True, False])
+def test_prefix_caching_matches_full_prompt(greedy):
+    """register_prefix + submit(prefix_id=): the continuation prefills
+    against the cached prefix K/V and the token stream equals submitting
+    ``[prefix; continuation]`` as one prompt (the cached path always
+    attends over the full static window, so the math is identical).  Two
+    requests share one prefix; a no-prefix request runs alongside."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    budget = 4
+
+    server = CSMServer(
+        params, cfg, n_slots=3, window=64,
+        temperature=0.9, topk=5, greedy=greedy, max_new_frames=budget,
+    )
+    pre_ids, pre_mask = _prompt(cfg, 6, seed=71)
+    pid = server.register_prefix(pre_ids, pre_mask)
+
+    conts = [_prompt(cfg, 3, seed=72), _prompt(cfg, 5, seed=73)]
+    keys = [jax.random.key(81), jax.random.key(82), jax.random.key(83)]
+    rid_a = server.submit(conts[0][0], conts[0][1], rng=keys[0], prefix_id=pid)
+    rid_b = server.submit(conts[1][0], conts[1][1], rng=keys[1], prefix_id=pid)
+    ids_c, mask_c = _prompt(cfg, 4, seed=74)
+    rid_c = server.submit(ids_c, mask_c, rng=keys[2])  # no prefix
+    server.run_until_idle()
+
+    for rid, (c_ids, c_mask), key in zip((rid_a, rid_b), conts, keys):
+        full_ids = np.concatenate([pre_ids, c_ids], axis=1)
+        full_mask = np.concatenate([pre_mask, c_mask], axis=1)
+        solo = _solo(params, cfg, full_ids, full_mask, key, budget, greedy)
+        np.testing.assert_array_equal(server.results[rid], solo)
+    solo_c = _solo(params, cfg, ids_c, mask_c, keys[2], budget, greedy)
+    np.testing.assert_array_equal(server.results[rid_c], solo_c)
+
+    # The prefix is reusable after serving (not donated) and droppable.
+    rid_d = server.submit(conts[0][0], conts[0][1], rng=keys[0], prefix_id=pid)
+    server.run_until_idle()
+    np.testing.assert_array_equal(
+        server.results[rid_d], server.results[rid_a]
+    )
+    server.drop_prefix(pid)
+
+
 def test_step_many_chunked_matches_single_steps():
     """run_until_idle(chunk=4) (device-side multi-step scan) produces the
     same results as per-frame stepping, including mid-flight admission at
