@@ -64,17 +64,25 @@ def main():
         return jnp.asarray(ids), jnp.asarray(mask)
 
     t0 = time.time()
+    # Shared voice-context prefix: later requests prefill only their
+    # continuation against its cached K/V.
+    pre_ids, pre_mask = prompt(32, seed=1000)
+    pid = server.register_prefix(pre_ids, pre_mask)
+
     rids = []
     for i in range(n_slots):
         ids, mask = prompt(16 + 8 * i, seed=i)
         # Exercise per-request sampling params on hardware: one greedy
         # request and one with its own temp/topk ride inside the sampled
-        # batch (dynamic per-row vectors — no recompile).
+        # batch (dynamic per-row vectors — no recompile); one request
+        # rides the cached prefix.
         kw = {}
         if i == 1:
             kw = dict(greedy=True)
         elif i == 2:
             kw = dict(temperature=0.7, topk=10)
+        elif i == 3:
+            kw = dict(prefix_id=pid)
         rids.append(server.submit(ids, mask, rng=jax.random.key(50 + i), **kw))
     # a few single steps, then a late join mid-flight, then a chunk
     server.step()
