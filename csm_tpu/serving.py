@@ -502,6 +502,25 @@ class CSMServer:
         if drain:
             self._drain_pending()
 
+    def cancel(self, rid) -> bool:
+        """Cancel a request: a queued request is dropped, a running one
+        frees its slot at the next admission point; frames generated so
+        far land in :attr:`results` (possibly empty).  A freed slot's
+        decode work is overwritten by the next admission — running streams
+        are untouched.  Returns True if the request was live."""
+        for i, item in enumerate(self._pending):
+            if item[0] == rid:
+                self._pending.pop(i)
+                self.results[rid] = np.zeros(
+                    (0, self.config.audio_num_codebooks), np.int64
+                )
+                return True
+        for slot in range(self.n_slots):
+            if self._slot_req[slot] == rid:
+                self._finish(slot)
+                return True
+        return False
+
     def step(self) -> bool:
         """Advance every live stream by one frame.  Returns False when no
         requests are active or pending."""

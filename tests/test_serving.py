@@ -288,6 +288,50 @@ def test_prefix_caching_matches_full_prompt(greedy):
     server.drop_prefix(pid)
 
 
+def test_cancel_frees_slot_without_disturbing_others():
+    """cancel(): a queued request is dropped, a running one frees its slot
+    (admitting the queue), and surviving streams still match their solo
+    runs token-for-token."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    budget = 5
+
+    server = CSMServer(params, cfg, n_slots=2, window=64,
+                       temperature=0.9, topk=5, greedy=False,
+                       max_new_frames=budget)
+    keys = [jax.random.key(91 + i) for i in range(3)]
+    prompts = [_prompt(cfg, 4 + 2 * i, seed=90 + i) for i in range(3)]
+    rids = [server.submit(p[0], p[1], rng=k) for p, k in zip(prompts, keys)]
+    assert len(server.active_slots) == 2  # rids[2] queued
+
+    server.step()
+    assert server.cancel(rids[0])  # running: frees a slot, admits rids[2]
+    # partial result: frame 0 from the admission prefill + one step
+    assert rids[0] in server.results and len(server.results[rids[0]]) == 2
+    assert len(server.active_slots) == 2
+    assert not server.cancel(rids[0])  # already finished
+    server.run_until_idle()
+
+    for i in (1, 2):
+        solo = _solo(params, cfg, prompts[i][0], prompts[i][1], keys[i],
+                     budget, False)
+        np.testing.assert_array_equal(server.results[rids[i]], solo)
+
+    # Cancelling a queued request drops it before admission.
+    server2 = CSMServer(params, cfg, n_slots=1, window=64, greedy=True,
+                        max_new_frames=budget)
+    r1 = server2.submit(prompts[0][0], prompts[0][1], rng=keys[0])
+    r2 = server2.submit(prompts[1][0], prompts[1][1], rng=keys[1])
+    assert server2.cancel(r2)
+    server2.run_until_idle()
+    assert len(server2.results[r2]) == 0 and len(server2.results[r1]) > 0
+
+
 def test_step_many_chunked_matches_single_steps():
     """run_until_idle(chunk=4) (device-side multi-step scan) produces the
     same results as per-frame stepping, including mid-flight admission at
