@@ -200,6 +200,10 @@ class CSMServer:
       ride as dynamic per-row vectors (no recompile when they mix), and a
       greedy request inside a sampled batch is exactly argmax (top-1 with
       zeroed Gumbel noise);
+    - PREFIX CACHING (:meth:`register_prefix` / ``submit(prefix_id=)``):
+      a shared voice-cloning context prefills once and each request
+      prefills only its continuation — token-exact vs the full-prompt
+      run; and :meth:`cancel` frees a slot mid-stream;
     - finished slots keep stepping on garbage (their writes land in a slot
       that admission fully overwrites) — the batch shape never changes, so
       there is exactly one compiled step program.
