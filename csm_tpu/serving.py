@@ -341,11 +341,16 @@ class CSMServer:
     def active_slots(self):
         return [s for s in range(self.n_slots) if self._slot_req[s] is not None]
 
-    def register_prefix(self, input_ids, attention_mask) -> int:
+    def register_prefix(self, input_ids, attention_mask, prefix_id=None) -> int:
         """Prefill a shared conversation prefix ONCE (e.g. the voice-cloning
         context clip + transcript of the README recipe) and cache its K/V on
         device; requests submitted with ``prefix_id=`` start from it and
         prefill only their own continuation frames.
+
+        ``prefix_id``: stack on an EXISTING prefix (context trees — e.g. a
+        base speaker context extended per conversation): the new frames
+        prefill against the parent's cached K/V, producing an independent
+        child prefix (the parent stays registered and reusable).
 
         Returns a prefix id.  Each registration holds one window-sized
         KVCache on HBM until :meth:`drop_prefix`.  The token streams are
@@ -356,22 +361,39 @@ class CSMServer:
         mask = np.asarray(attention_mask, np.float32)
         B, S, W = ids.shape
         assert B == 1, "register one conversation prefix at a time"
-        if S >= self.window:
+        if prefix_id is not None:
+            parent, S0 = self._prefixes[prefix_id]
+        else:
+            parent, S0 = None, 0
+        if S0 + S >= self.window:
             raise ValueError(
-                f"prefix ({S}) must leave room in the window ({self.window})"
+                f"prefix ({S0}+{S}) must leave room in the window "
+                f"({self.window})"
             )
         Sb = _bucket(S, buckets=(32, 64, 128, 256, 512, 1024, 2048))
         Sb = min(Sb, self.window)
+        if S0 + Sb > self.window:
+            raise ValueError(
+                f"parent prefix ({S0}) + bucket ({Sb}) exceed the window "
+                f"({self.window})"
+            )
         if Sb > S:
             ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], 1)
             mask = np.concatenate(
                 [mask, np.zeros((B, Sb - S, W), mask.dtype)], 1
             )
         dtype = self.params["backbone"]["final_norm"].dtype
-        small = KVCache.create(self.config.backbone, 1, self.window, dtype=dtype)
+        if parent is None:
+            small = KVCache.create(
+                self.config.backbone, 1, self.window, dtype=dtype
+            )
+            fill = self._prefill
+        else:
+            small = parent  # functional arrays: the parent is not mutated
+            fill = self._prefill_cont
         # Reuse the compiled prefill program; the sampled frame is discarded
         # (sampling never writes the cache).
-        out = self._prefill(
+        out = fill(
             self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
             small, jax.random.key(0)[None], self._qdec,
             jnp.ones((1,), jnp.float32),
@@ -379,7 +401,7 @@ class CSMServer:
             jnp.zeros((1,), bool),
         )
         pid = f"prefix-{len(self._prefixes)}"
-        self._prefixes[pid] = (out.cache, S)
+        self._prefixes[pid] = (out.cache, S0 + S)
         return pid
 
     def drop_prefix(self, prefix_id) -> None:

@@ -285,6 +285,19 @@ def test_prefix_caching_matches_full_prompt(greedy):
     np.testing.assert_array_equal(
         server.results[rid_d], server.results[rid_a]
     )
+
+    # Stacked prefix (context tree): child = parent + extension; a request
+    # on the child equals the fully concatenated prompt.
+    ext_ids, ext_mask = _prompt(cfg, 4, seed=75)
+    child = server.register_prefix(ext_ids, ext_mask, prefix_id=pid)
+    tail_ids, tail_mask = _prompt(cfg, 3, seed=76)
+    rid_e = server.submit(tail_ids, tail_mask, rng=keys[2], prefix_id=child)
+    server.run_until_idle()
+    full_ids = np.concatenate([pre_ids, ext_ids, tail_ids], axis=1)
+    full_mask = np.concatenate([pre_mask, ext_mask, tail_mask], axis=1)
+    solo_e = _solo(params, cfg, full_ids, full_mask, keys[2], budget, greedy)
+    np.testing.assert_array_equal(server.results[rid_e], solo_e)
+    server.drop_prefix(child)
     server.drop_prefix(pid)
 
 
