@@ -84,12 +84,57 @@ class CSMStreamer:
         self._decoder = None
         self._done = None
         self._last_frame = None
+        self._prefixes: dict = {}  # prefix_id -> (seeded KVCache, n_frames)
+        # Continuation prefill against a prefix-seeded cache (index > 0):
+        # the flash prefill kernel assumes start-0 queries, so the twin
+        # program takes the masked-bias path.
+        self._prefill_cont = jax.jit(
+            lambda p, ids, mask, tl, cache, key, qd: generate_frame(
+                p, config, ids, mask, cache=cache, rng=key,
+                temperature=temperature, topk=topk, greedy=greedy,
+                true_len=tl, flash_prefill=False, qdec=qd,
+            )
+        )
 
     # ------------------------------------------------------------------
 
+    def register_prefix(self, input_ids, attention_mask,
+                        max_new_frames: int = 1024) -> str:
+        """Prefill a shared context ONCE (e.g. a fixed speaker's
+        voice-cloning clip) for reuse across streaming sessions:
+        ``start(prefix_id=...)`` then prefills only the new frames.  The
+        prefix cache is sized for ``max_new_frames`` of decode; sessions
+        on it must fit that window."""
+        ids = np.asarray(input_ids)
+        mask = np.asarray(attention_mask, np.float32)
+        B, S, W = ids.shape
+        Sb = _bucket(S)
+        if Sb > S:
+            ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], 1)
+            mask = np.concatenate([mask, np.zeros((B, Sb - S, W), mask.dtype)], 1)
+        cache_len = min(self.config.max_seq_len, Sb + max_new_frames)
+        cache_len = ((cache_len + 127) // 128) * 128
+        dtype = self.params["backbone"]["final_norm"].dtype
+        cache = KVCache.create(self.config.backbone, B, cache_len, dtype=dtype)
+        out = self._prefill(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
+            cache, jax.random.key(0), self._qdec,
+        )  # sampled frame discarded; sampling never writes the cache
+        pid = f"prefix-{len(self._prefixes)}"
+        self._prefixes[pid] = (out.cache, S)
+        return pid
+
+    def drop_prefix(self, prefix_id) -> None:
+        """Release a registered prefix's device memory."""
+        self._prefixes.pop(prefix_id, None)
+
     def start(self, input_ids, attention_mask, rng: Optional[jax.Array] = None,
-              max_new_frames: int = 1024) -> np.ndarray:
-        """Prefill the prompt and emit the first frame.  Returns ``[B, 32]``."""
+              max_new_frames: int = 1024, prefix_id=None) -> np.ndarray:
+        """Prefill the prompt and emit the first frame.  Returns ``[B, 32]``.
+
+        ``prefix_id`` (from :meth:`register_prefix`): ``input_ids`` is then
+        the continuation only; the prefix's cached K/V seeds the session
+        (token streams equal the full-prompt session exactly)."""
         from csm_tpu.codec.streaming import StreamingMimiDecoder
 
         ids = np.asarray(input_ids)
@@ -100,14 +145,31 @@ class CSMStreamer:
             ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], axis=1)
             mask = np.concatenate([mask, np.zeros((B, Sb - S, W), mask.dtype)], axis=1)
 
-        cache_len = min(self.config.max_seq_len, Sb + max_new_frames)
-        cache_len = ((cache_len + 127) // 128) * 128  # flash-blockable window
-        dtype = self.params["backbone"]["final_norm"].dtype
-        cache = KVCache.create(self.config.backbone, B, cache_len, dtype=dtype)
+        if prefix_id is not None:
+            cache, S0 = self._prefixes[prefix_id]
+            if cache.k.shape[1] != B:
+                raise ValueError(
+                    f"prefix batch ({cache.k.shape[1]}) != session batch ({B})"
+                )
+            if S0 + Sb + max_new_frames > cache.max_len:
+                raise ValueError(
+                    f"prefix window ({cache.max_len}) too small for "
+                    f"{S0}+{Sb} prompt frames + {max_new_frames} new; "
+                    "register with a larger max_new_frames"
+                )
+            fill = self._prefill_cont
+        else:
+            cache_len = min(self.config.max_seq_len, Sb + max_new_frames)
+            cache_len = ((cache_len + 127) // 128) * 128  # flash-blockable
+            dtype = self.params["backbone"]["final_norm"].dtype
+            cache = KVCache.create(
+                self.config.backbone, B, cache_len, dtype=dtype
+            )
+            fill = self._prefill
 
         rng = rng if rng is not None else jax.random.key(0)
         rng, k0 = jax.random.split(rng)
-        out = self._prefill(
+        out = fill(
             self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
             cache, k0, self._qdec,
         )

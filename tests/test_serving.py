@@ -301,6 +301,38 @@ def test_prefix_caching_matches_full_prompt(greedy):
     server.drop_prefix(pid)
 
 
+def test_streamer_prefix_matches_full_prompt(model):
+    """CSMStreamer.register_prefix + start(prefix_id=): the session's
+    frames equal a full-prompt session with the same key."""
+    import jax
+
+    from csm_tpu.serving import CSMStreamer
+
+    cfg, params = model
+    pre_ids, pre_mask = _prompt(cfg, 6, seed=201)
+    c_ids, c_mask = _prompt(cfg, 3, seed=202)
+
+    def frames_of(streamer, ids, mask, **kw):
+        out = [streamer.start(ids, mask, rng=jax.random.key(7),
+                              max_new_frames=8, **kw)]
+        for _ in range(3):
+            out.append(streamer.step())
+        return np.stack(out)
+
+    s1 = CSMStreamer(params, cfg, temperature=0.9, topk=5,
+                     stop_on_all_zeros=False)
+    pid = s1.register_prefix(pre_ids, pre_mask, max_new_frames=16)
+    got = frames_of(s1, c_ids, c_mask, prefix_id=pid)
+
+    s2 = CSMStreamer(params, cfg, temperature=0.9, topk=5,
+                     stop_on_all_zeros=False)
+    full_ids = np.concatenate([pre_ids, c_ids], axis=1)
+    full_mask = np.concatenate([pre_mask, c_mask], axis=1)
+    want = frames_of(s2, full_ids, full_mask)
+    np.testing.assert_array_equal(got, want)
+    s1.drop_prefix(pid)
+
+
 def test_cancel_frees_slot_without_disturbing_others():
     """cancel(): a queued request is dropped, a running one frees its slot
     (admitting the queue), and surviving streams still match their solo
