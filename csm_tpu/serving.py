@@ -396,12 +396,32 @@ class CSMServer:
         self._default_temp = float(temperature)
         self._default_topk = int(topk)
         self._prefixes: dict = {}  # prefix_id -> (seeded KVCache, n_frames)
+        self._n_frames = 0  # telemetry (stats())
+        self._n_prefills = 0
+        self._n_prefix_prefills = 0
 
     # ------------------------------------------------------------------
 
     @property
     def active_slots(self):
         return [s for s in range(self.n_slots) if self._slot_req[s] is not None]
+
+    def stats(self) -> dict:
+        """Serving telemetry snapshot: slot occupancy, queue depth, frames
+        emitted, prefill counts (split by prefix reuse), and per-slot
+        context depths — the metrics a deployment scrapes."""
+        return {
+            "n_slots": self.n_slots,
+            "active_slots": len(self.active_slots),
+            "queued": len(self._pending),
+            "completed": len(self.results),
+            "frames_emitted": int(self._n_frames),
+            "prefills": int(self._n_prefills),
+            "prefix_prefills": int(self._n_prefix_prefills),
+            "prefixes_registered": len(self._prefixes),
+            "slot_depths": self._depth.tolist(),
+            "window": self.window,
+        }
 
     def register_prefix(self, input_ids, attention_mask, prefix_id=None) -> int:
         """Prefill a shared conversation prefix ONCE (e.g. the voice-cloning
@@ -556,6 +576,9 @@ class CSMServer:
             jnp.full((1,), gr, bool),
         )
 
+        self._n_prefills += 1
+        if pre_cache is not None:
+            self._n_prefix_prefills += 1
         self.cache, self._rngs, self._last = self._admit(
             self.cache, out.cache, slot, jnp.int32(S0 + S),
             self._rngs, rng, out.samples, self._last,
@@ -576,6 +599,7 @@ class CSMServer:
             self._frames[rid].append(frame.copy())
             self._budget[slot] -= 1
             self._depth[slot] += 1
+            self._n_frames += 1
         if stopped or self._budget[slot] <= 0 or self._depth[slot] >= self.window:
             self._finish(slot, drain=drain)
 

@@ -367,6 +367,11 @@ def test_cancel_frees_slot_without_disturbing_others():
                      budget, False)
         np.testing.assert_array_equal(server.results[rids[i]], solo)
 
+    st = server.stats()
+    assert st["active_slots"] == 0 and st["queued"] == 0
+    assert st["completed"] == 3 and st["prefills"] == 3
+    assert st["frames_emitted"] >= 2 * budget
+
     # Cancelling a queued request drops it before admission.
     server2 = CSMServer(params, cfg, n_slots=1, window=64, greedy=True,
                         max_new_frames=budget)
