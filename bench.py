@@ -260,11 +260,12 @@ def main():
                     q if batch <= _qdec_max_b else None, args.reps
                 )
             bfps = total / med
+            fused_used = q is not None and batch <= _qdec_max_b
             _emit(
                 f"csm1b_frames_per_sec_batch{batch}_aggregate",
                 bfps, "frames/s", bfps / BASELINE_FPS,
                 reps=args.reps, spread_pct=spread,
-                fused_head_bits=head_bits,
+                **({"fused_head_bits": head_bits} if fused_used else {}),
             )
 
     # 3. p50 first-frame latency (prefill + one frame)

@@ -364,6 +364,24 @@ def _bucket(n: int, buckets=(32, 64, 128, 256, 512, 1024, 2048)) -> int:
     return n
 
 
+def _pad_to_bucket(ids, mask, cap: Optional[int] = None):
+    """Right-pad ``[B, S, 33]`` numpy ids/mask to the next prompt-length
+    bucket (zero ids, zero mask — masked frames never attend), optionally
+    clamping the bucket to ``cap``.  Returns ``(ids, mask, S, Sb)``.
+    Shared by the serving admission/prefix paths so their padding rules
+    can't drift apart."""
+    import numpy as np
+
+    B, S, W = ids.shape
+    Sb = _bucket(S)
+    if cap is not None:
+        Sb = min(Sb, cap)
+    if Sb > S:
+        ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], 1)
+        mask = np.concatenate([mask, np.zeros((B, Sb - S, W), mask.dtype)], 1)
+    return ids, mask, S, Sb
+
+
 def generate(
     params: dict,
     config: CSMConfig,

@@ -104,13 +104,16 @@ def prepare_fused_decoder(
     the audio embedding table through ``projection`` (the XLA path computes
     ``embed(ci) @ proj`` per step; here it is a table lookup).
 
-    ``head_bits=8`` additionally quantizes the per-step ``audio_head``
+    ``head_bits`` must be 8 or 16.  ``head_bits=8`` additionally quantizes
+    the per-step ``audio_head``
     slices to int8 (symmetric per-output-channel, W8A16 dot + f32 rescale
     in-kernel): the head's VMEM buffer and its ~138 MB/frame of slice DMA
     traffic both halve, which is what lets a single B=16 program fit under
     the VMEM cap (``MAX_VALIDATED_B_1SLOT``).  The default keeps the bf16
     head — bit-identical logits to the XLA quantized path's head matmul.
     """
+    if head_bits not in (8, 16):
+        raise ValueError(f"head_bits must be 8 or 16, got {head_bits}")
     dec = params["decoder"]["layers"]
     dcfg = config.decoder
     Dd = dcfg.hidden_size

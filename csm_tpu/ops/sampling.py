@@ -124,7 +124,9 @@ def sample_topk_batch(
     kks = (
         jnp.full((B,), min(int(topk), logits.shape[-1]), jnp.int32)
         if static_k
-        else jnp.asarray(topk, jnp.int32).reshape(B)
+        else jnp.broadcast_to(
+            jnp.asarray(topk, jnp.int32).reshape(-1), (B,)
+        )
     )
     tts = jnp.broadcast_to(
         jnp.asarray(temperature, jnp.float32).reshape(-1), (B,)

@@ -19,6 +19,7 @@ single-program path's.
 
 from __future__ import annotations
 
+import warnings
 from typing import Iterator, Optional
 
 import jax
@@ -26,7 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from csm_tpu.config import CSMConfig
-from csm_tpu.generation import _bucket, _next_frame_inputs, generate_frame
+from csm_tpu.generation import (
+    _bucket, _next_frame_inputs, _pad_to_bucket, generate_frame,
+)
 from csm_tpu.models.llama import KVCache
 
 
@@ -85,6 +88,7 @@ class CSMStreamer:
         self._done = None
         self._last_frame = None
         self._prefixes: dict = {}  # prefix_id -> (seeded KVCache, n_frames)
+        self._prefix_seq = 0  # monotonic: ids never reused after drop_prefix
         # Continuation prefill against a prefix-seeded cache (index > 0):
         # the flash prefill kernel assumes start-0 queries, so the twin
         # program takes the masked-bias path.
@@ -107,11 +111,8 @@ class CSMStreamer:
         on it must fit that window."""
         ids = np.asarray(input_ids)
         mask = np.asarray(attention_mask, np.float32)
-        B, S, W = ids.shape
-        Sb = _bucket(S)
-        if Sb > S:
-            ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], 1)
-            mask = np.concatenate([mask, np.zeros((B, Sb - S, W), mask.dtype)], 1)
+        ids, mask, S, Sb = _pad_to_bucket(ids, mask)
+        B = ids.shape[0]
         cache_len = min(self.config.max_seq_len, Sb + max_new_frames)
         cache_len = ((cache_len + 127) // 128) * 128
         dtype = self.params["backbone"]["final_norm"].dtype
@@ -120,7 +121,8 @@ class CSMStreamer:
             self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
             cache, jax.random.key(0), self._qdec,
         )  # sampled frame discarded; sampling never writes the cache
-        pid = f"prefix-{len(self._prefixes)}"
+        pid = f"prefix-{self._prefix_seq}"
+        self._prefix_seq += 1
         self._prefixes[pid] = (out.cache, S)
         return pid
 
@@ -139,11 +141,8 @@ class CSMStreamer:
 
         ids = np.asarray(input_ids)
         mask = np.asarray(attention_mask, np.float32)
-        B, S, W = ids.shape
-        Sb = _bucket(S)
-        if Sb > S:
-            ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], axis=1)
-            mask = np.concatenate([mask, np.zeros((B, Sb - S, W), mask.dtype)], axis=1)
+        ids, mask, S, Sb = _pad_to_bucket(ids, mask)
+        B = ids.shape[0]
 
         if prefix_id is not None:
             cache, S0 = self._prefixes[prefix_id]
@@ -362,6 +361,52 @@ class CSMServer:
 
         self._step_many = jax.jit(_steps, static_argnames=("n",))
 
+        # Uniform-parameter fast path: when every live request uses the
+        # server defaults (the common case), these closure-static variants
+        # keep the XLA sampler on its static lax.top_k formulation instead
+        # of the per-row sort path.  Outputs are bitwise identical — the
+        # per-request tests compare both against static solo runs.
+        self._prefill_u = jax.jit(
+            lambda p, ids, mask, tl, cache, keys, qd: generate_frame(
+                p, config, ids, mask, cache=cache, rng=keys,
+                temperature=temperature, topk=topk, greedy=greedy,
+                true_len=tl, flash_prefill=True, qdec=qd,
+            )
+        )
+        self._prefill_cont_u = jax.jit(
+            lambda p, ids, mask, tl, cache, keys, qd: generate_frame(
+                p, config, ids, mask, cache=cache, rng=keys,
+                temperature=temperature, topk=topk, greedy=greedy,
+                true_len=tl, flash_prefill=False, qdec=qd,
+            )
+        )
+        self._step_u = jax.jit(
+            lambda p, ids, mask, cache, keys, qd, qb, qs: generate_frame(
+                p, config, ids, mask, cache=cache, rng=keys,
+                temperature=temperature, topk=topk, greedy=greedy,
+                qdec=qd, qbb=qb, qsb=qs,
+            )
+        )
+
+        def _steps_u(p, cache, rngs, last, qd, qb, qs, n):
+            def body(carry, _):
+                cache, rngs, last = carry
+                ids, mask = _next_frame_inputs(config, last)
+                pair = jax.vmap(jax.random.split)(rngs)
+                out = generate_frame(
+                    p, config, ids, mask, cache=cache, rng=pair[:, 1],
+                    temperature=temperature, topk=topk, greedy=greedy,
+                    qdec=qd, qbb=qb, qsb=qs,
+                )
+                return (out.cache, pair[:, 0], out.samples), out.samples
+
+            (cache, rngs, last), frames = jax.lax.scan(
+                body, (cache, rngs, last), None, length=n
+            )
+            return cache, rngs, last, frames
+
+        self._step_many_u = jax.jit(_steps_u, static_argnames=("n",))
+
         def _admit(cache, small, slot, true_len, rngs, key, frame, frames):
             k = jax.lax.dynamic_update_slice(cache.k, small.k, (0, slot, 0, 0, 0))
             v = jax.lax.dynamic_update_slice(cache.v, small.v, (0, slot, 0, 0, 0))
@@ -396,6 +441,7 @@ class CSMServer:
         self._default_temp = float(temperature)
         self._default_topk = int(topk)
         self._prefixes: dict = {}  # prefix_id -> (seeded KVCache, n_frames)
+        self._prefix_seq = 0  # monotonic: ids never reused after drop_prefix
         self._n_frames = 0  # telemetry (stats())
         self._n_prefills = 0
         self._n_prefix_prefills = 0
@@ -405,6 +451,17 @@ class CSMServer:
     @property
     def active_slots(self):
         return [s for s in range(self.n_slots) if self._slot_req[s] is not None]
+
+    def _uniform_active(self) -> bool:
+        """True when every live slot runs the server-default sampling
+        parameters — the dispatcher then uses the closure-static programs
+        (original static-top_k sampler; bitwise-identical outputs)."""
+        return all(
+            (not self._greedy_v[s])
+            and self._temp_v[s] == self._default_temp
+            and self._topk_v[s] == self._default_topk
+            for s in self.active_slots
+        )
 
     def stats(self) -> dict:
         """Serving telemetry snapshot: slot occupancy, queue depth, frames
@@ -423,7 +480,7 @@ class CSMServer:
             "window": self.window,
         }
 
-    def register_prefix(self, input_ids, attention_mask, prefix_id=None) -> int:
+    def register_prefix(self, input_ids, attention_mask, prefix_id=None) -> str:
         """Prefill a shared conversation prefix ONCE (e.g. the voice-cloning
         context clip + transcript of the README recipe) and cache its K/V on
         device; requests submitted with ``prefix_id=`` start from it and
@@ -452,37 +509,28 @@ class CSMServer:
                 f"prefix ({S0}+{S}) must leave room in the window "
                 f"({self.window})"
             )
-        Sb = _bucket(S, buckets=(32, 64, 128, 256, 512, 1024, 2048))
-        Sb = min(Sb, self.window)
+        ids, mask, S, Sb = _pad_to_bucket(ids, mask, cap=self.window)
         if S0 + Sb > self.window:
             raise ValueError(
                 f"parent prefix ({S0}) + bucket ({Sb}) exceed the window "
                 f"({self.window})"
-            )
-        if Sb > S:
-            ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], 1)
-            mask = np.concatenate(
-                [mask, np.zeros((B, Sb - S, W), mask.dtype)], 1
             )
         dtype = self.params["backbone"]["final_norm"].dtype
         if parent is None:
             small = KVCache.create(
                 self.config.backbone, 1, self.window, dtype=dtype
             )
-            fill = self._prefill
         else:
             small = parent  # functional arrays: the parent is not mutated
-            fill = self._prefill_cont
-        # Reuse the compiled prefill program; the sampled frame is discarded
-        # (sampling never writes the cache).
-        out = fill(
+        # Reuse the compiled uniform prefill programs; the sampled frame is
+        # discarded (sampling never writes the cache).
+        fill_u = self._prefill_u if parent is None else self._prefill_cont_u
+        out = fill_u(
             self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
             small, jax.random.key(0)[None], self._qdec,
-            jnp.ones((1,), jnp.float32),
-            jnp.full((1,), self._default_topk, jnp.int32),
-            jnp.zeros((1,), bool),
         )
-        pid = f"prefix-{len(self._prefixes)}"
+        pid = f"prefix-{self._prefix_seq}"
+        self._prefix_seq += 1
         self._prefixes[pid] = (out.cache, S0 + S)
         return pid
 
@@ -508,6 +556,8 @@ class CSMServer:
         ``prefix_id`` (from :meth:`register_prefix`): ``input_ids`` is then
         the CONTINUATION only — the prefix's cached K/V seeds the slot and
         only the continuation frames are prefilled."""
+        if prefix_id is not None and prefix_id not in self._prefixes:
+            raise KeyError(f"unknown prefix_id {prefix_id!r}")
         rid = self._next_id
         self._next_id += 1
         if rng is None:
@@ -538,11 +588,21 @@ class CSMServer:
         B, S, W = ids.shape
         assert B == 1, "submit one conversation per request"
         if prefix_id is not None:
+            if prefix_id not in self._prefixes:
+                # Dropped while the request sat in the queue: fail THIS
+                # request softly instead of crashing the serving loop.
+                warnings.warn(
+                    f"request {rid}: prefix {prefix_id!r} was dropped while "
+                    "queued; recording an empty result"
+                )
+                self.results[rid] = np.zeros(
+                    (0, self.config.audio_num_codebooks), np.int64
+                )
+                return
             pre_cache, S0 = self._prefixes[prefix_id]
         else:
             pre_cache, S0 = None, 0
-        Sb = _bucket(S, buckets=(32, 64, 128, 256, 512, 1024, 2048))
-        Sb = min(Sb, self.window)
+        ids, mask, S, Sb = _pad_to_bucket(ids, mask, cap=self.window)
         if S0 + S > self.window:
             raise ValueError(
                 f"prompt ({S0}+{S}) exceeds the serving window ({self.window})"
@@ -552,28 +612,33 @@ class CSMServer:
                 f"prefix ({S0}) + continuation bucket ({Sb}) exceed the "
                 f"serving window ({self.window}); shorten one of them"
             )
-        if Sb > S:
-            ids = np.concatenate([ids, np.zeros((B, Sb - S, W), ids.dtype)], 1)
-            mask = np.concatenate([mask, np.zeros((B, Sb - S, W), mask.dtype)], 1)
 
         dtype = self.params["backbone"]["final_norm"].dtype
+        uni = (
+            temp == self._default_temp
+            and k == self._default_topk
+            and not gr
+        )
         if pre_cache is None:
             small = KVCache.create(
                 self.config.backbone, 1, self.window, dtype=dtype
             )
-            fill = self._prefill
+            fill = self._prefill_u if uni else self._prefill
         else:
             small = pre_cache  # shared, never donated — reusable across slots
-            fill = self._prefill_cont  # bias path: queries start at S0 > 0
+            # bias path: queries start at S0 > 0
+            fill = self._prefill_cont_u if uni else self._prefill_cont
         # Same key schedule as a solo generate_compiled(rng=[key]) run.
         pair = jax.random.split(rng)
         rng, k0 = pair[0], pair[1]
-        out = fill(
-            self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
-            small, k0[None], self._qdec,
+        extra = () if uni else (
             jnp.full((1,), temp, jnp.float32),
             jnp.full((1,), k, jnp.int32),
             jnp.full((1,), gr, bool),
+        )
+        out = fill(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.int32(S),
+            small, k0[None], self._qdec, *extra,
         )
 
         self._n_prefills += 1
@@ -644,12 +709,18 @@ class CSMServer:
         ids, mask = _next_frame_inputs(self.config, self._last)
         pair = jax.vmap(jax.random.split)(self._rngs)  # [B, 2]
         self._rngs = pair[:, 0]
-        out = self._step(
-            self.params, ids, mask, self.cache, pair[:, 1],
-            self._qdec, self._qbb, self._qsb,
-            jnp.asarray(self._temp_v), jnp.asarray(self._topk_v),
-            jnp.asarray(self._greedy_v),
-        )
+        if self._uniform_active():
+            out = self._step_u(
+                self.params, ids, mask, self.cache, pair[:, 1],
+                self._qdec, self._qbb, self._qsb,
+            )
+        else:
+            out = self._step(
+                self.params, ids, mask, self.cache, pair[:, 1],
+                self._qdec, self._qbb, self._qsb,
+                jnp.asarray(self._temp_v), jnp.asarray(self._topk_v),
+                jnp.asarray(self._greedy_v),
+            )
         self.cache = out.cache
         self._last = out.samples
         frames = np.asarray(out.samples)
@@ -672,12 +743,18 @@ class CSMServer:
             if not self.active_slots:
                 return False
         rid_at_start = list(self._slot_req)
-        cache, rngs, last, frames = self._step_many(
-            self.params, self.cache, self._rngs, self._last,
-            self._qdec, self._qbb, self._qsb,
-            jnp.asarray(self._temp_v), jnp.asarray(self._topk_v),
-            jnp.asarray(self._greedy_v), n,
-        )
+        if self._uniform_active():
+            cache, rngs, last, frames = self._step_many_u(
+                self.params, self.cache, self._rngs, self._last,
+                self._qdec, self._qbb, self._qsb, n,
+            )
+        else:
+            cache, rngs, last, frames = self._step_many(
+                self.params, self.cache, self._rngs, self._last,
+                self._qdec, self._qbb, self._qsb,
+                jnp.asarray(self._temp_v), jnp.asarray(self._topk_v),
+                jnp.asarray(self._greedy_v), n,
+            )
         self.cache, self._rngs, self._last = cache, rngs, last
         frames = np.asarray(frames)  # [n, B, 32]
         for t in range(frames.shape[0]):
