@@ -29,7 +29,9 @@ Public surface (mirrors the reference's API at
 - :mod:`csm_tpu.checkpoint` — HF/torch state-dict ⇄ JAX pytree converters,
   orbax save/load.
 - :mod:`csm_tpu.serving` — frame streamer + continuous-batching
-  :class:`CSMServer` (mid-flight admission, per-stream RNG).
+  :class:`CSMServer` (mid-flight admission, per-stream RNG, per-request
+  temperature/topk/greedy as dynamic per-row inputs, prefix caching with
+  stackable contexts, cancel, stats).
 - :mod:`csm_tpu.ops.fused_decoder` / :mod:`csm_tpu.ops.quant` /
   :mod:`csm_tpu.ops.bb_kernel` — the VMEM-resident int8 intra-frame
   decoder kernel (whole-frame sampling in one Pallas call), the W8A16 int8
@@ -42,7 +44,7 @@ Public surface (mirrors the reference's API at
 
 from csm_tpu.config import CSMConfig, LlamaConfig
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "CSMConfig", "LlamaConfig", "CSMModel", "CSMServer", "CSMStreamer",
