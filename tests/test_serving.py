@@ -333,6 +333,38 @@ def test_streamer_prefix_matches_full_prompt(model):
     s1.drop_prefix(pid)
 
 
+def test_prefix_error_paths():
+    """Unknown prefix ids fail fast at submit; a prefix dropped while its
+    request sat queued soft-fails that request (empty result + warning)
+    without crashing the serving loop; ids are never reused after drop."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    server = CSMServer(params, cfg, n_slots=1, window=64, greedy=True,
+                       max_new_frames=2)
+
+    with pytest.raises(KeyError):
+        server.submit(*_prompt(cfg, 4, seed=1), prefix_id="nope")
+
+    pid_a = server.register_prefix(*_prompt(cfg, 4, seed=2))
+    server.drop_prefix(pid_a)
+    pid_b = server.register_prefix(*_prompt(cfg, 4, seed=3))
+    assert pid_b != pid_a  # monotonic ids: no silent reuse after drop
+
+    # Fill the single slot, queue a prefix request, then drop its prefix.
+    r_busy = server.submit(*_prompt(cfg, 4, seed=4))
+    r_q = server.submit(*_prompt(cfg, 3, seed=5), prefix_id=pid_b)
+    server.drop_prefix(pid_b)
+    with pytest.warns(UserWarning, match="dropped while"):
+        server.run_until_idle()
+    assert len(server.results[r_q]) == 0  # soft-failed, loop survived
+    assert len(server.results[r_busy]) > 0
+
+
 def test_cancel_frees_slot_without_disturbing_others():
     """cancel(): a queued request is dropped, a running one frees its slot
     (admitting the queue), and surviving streams still match their solo
