@@ -37,6 +37,12 @@ def main():
     ap.add_argument("--quantize", action="store_true",
                     help="enable the int8 fast paths (fused decoder + "
                     "streamed backbone kernels; ~3x faster on a v5e)")
+    ap.add_argument("--bits", type=int, default=8, choices=(4, 8),
+                    help="streamed-backbone weight precision (4 = W4A16 "
+                    "int4 tier; with --quantize)")
+    ap.add_argument("--head-bits", type=int, default=16, choices=(8, 16),
+                    help="fused-decoder audio_head precision (8 = int8 "
+                    "head; with --quantize)")
     args = ap.parse_args()
 
     import jax
@@ -57,7 +63,7 @@ def main():
     )
     if args.quantize:
         print("quantizing fast paths (one-time)...")
-        model.quantize()
+        model.quantize(bits=args.bits, head_bits=args.head_bits)
     processor = CSMProcessor(tokenizer, mimi)
 
     role = f"speaker_{args.speaker}"
