@@ -268,6 +268,35 @@ def main():
                 **({"fused_head_bits": head_bits} if fused_used else {}),
             )
 
+        # Max-throughput tier: batch 16 through the W4A16 int4 streamed
+        # backbone + int8-head fused decoder (both opt-in; weight-precision
+        # cost measurable on trained weights via fetch_and_verify).
+        if (
+            16 in batches and qsb is not None and qdec_h8 is not None
+            and not args.skip_int4 and 16 <= _qsb_max_b
+        ):
+            print("batch-16 aggregate (int4 backbone)...", file=sys.stderr)
+            from csm_tpu.ops.bb_kernel import prepare_streamed_backbone as _psb4
+
+            qsb4b = jax.jit(lambda p: _psb4(p, config, bits=4))(params)
+            np.asarray(qsb4b["final_norm"])
+            try:
+                total4b, med4b, spread4b = timed(
+                    16, args.frames, qdec_h8, args.reps, qsb_override=qsb4b
+                )
+                fps4b = total4b / med4b
+                _emit(
+                    "csm1b_frames_per_sec_batch16_aggregate_int4",
+                    fps4b, "frames/s", fps4b / BASELINE_FPS,
+                    reps=args.reps, spread_pct=spread4b,
+                    fused_head_bits=8,
+                    note="W4A16 backbone + int8-head fused decoder "
+                         "(opt-in tiers)",
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"int4 batch-16 tier failed ({type(e).__name__}); "
+                      "skipping the line", file=sys.stderr)
+
     # 3. p50 first-frame latency (prefill + one frame)
     p50 = None
     if not args.skip_first_frame:
