@@ -333,6 +333,28 @@ def test_streamer_prefix_matches_full_prompt(model):
     s1.drop_prefix(pid)
 
 
+def test_greedy_server_ignores_per_request_overrides():
+    """A server built with greedy=True is deterministic for every request;
+    per-request sampling overrides are documented as ignored — outputs
+    still equal the greedy solo run."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    budget = 3
+    server = CSMServer(params, cfg, n_slots=2, window=64, greedy=True,
+                       max_new_frames=budget)
+    ids, mask = _prompt(cfg, 5, seed=61)
+    key = jax.random.key(62)
+    rid = server.submit(ids, mask, rng=key, temperature=0.3, topk=2)
+    server.run_until_idle()
+    solo = _solo(params, cfg, ids, mask, key, budget, True)
+    np.testing.assert_array_equal(server.results[rid], solo)
+
+
 def test_prefix_error_paths():
     """Unknown prefix ids fail fast at submit; a prefix dropped while its
     request sat queued soft-fails that request (empty result + warning)
