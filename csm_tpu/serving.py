@@ -267,7 +267,9 @@ class CSMServer:
       run; and :meth:`cancel` frees a slot mid-stream;
     - finished slots keep stepping on garbage (their writes land in a slot
       that admission fully overwrites) — the batch shape never changes, so
-      there is exactly one compiled step program.
+      the step stays within two compiled programs (a closure-static
+      default-parameter variant for the common all-defaults case, and the
+      per-row-vector variant when request parameters mix).
     """
 
     def __init__(
