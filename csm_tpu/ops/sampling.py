@@ -53,9 +53,13 @@ def sample_topk_logits(
     logits: jnp.ndarray, topk, temperature: float | jnp.ndarray
 ) -> jnp.ndarray:
     """Temperature-scale + top-k filter; returns filtered logits ready for a
-    Gumbel-max draw.  ``temperature`` may be a scalar or broadcastable
-    per-row (``[..., 1]``) array."""
-    logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    Gumbel-max draw.  ``temperature`` may be a scalar or a per-row array
+    (any shape of size B — normalized to ``[B, 1]`` so it scales rows, not
+    vocab lanes)."""
+    t = jnp.asarray(temperature, jnp.float32)
+    if t.ndim >= 1:
+        t = t.reshape(-1, 1)  # per-row
+    logits = logits.astype(jnp.float32) / jnp.maximum(t, 1e-6)
     return topk_mask(logits, topk)
 
 
