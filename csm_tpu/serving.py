@@ -440,7 +440,11 @@ class CSMServer:
         self._next_id = 0
         self.results: dict = {}
         self._frames: dict = {}
-        self._default_temp = float(temperature)
+        # Canonicalize through float32: slot temps live in a float32 vector
+        # (``_temp_v``), so comparing against a raw Python double would be
+        # always-False for values like 0.9 and silently disable the uniform
+        # fast-path programs.
+        self._default_temp = float(np.float32(temperature))
         self._default_topk = int(topk)
         self._prefixes: dict = {}  # prefix_id -> (seeded KVCache, n_frames)
         self._prefix_seq = 0  # monotonic: ids never reused after drop_prefix
@@ -567,7 +571,9 @@ class CSMServer:
         self._pending.append((
             rid, np.asarray(input_ids), np.asarray(attention_mask, np.float32),
             rng, max_new_frames or self.default_max_new_frames,
-            self._default_temp if temperature is None else float(temperature),
+            self._default_temp
+            if temperature is None
+            else float(np.float32(temperature)),
             self._default_topk if topk is None else int(topk),
             bool(greedy), prefix_id,
         ))

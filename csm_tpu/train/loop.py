@@ -96,6 +96,11 @@ def make_train_step(
     merges adapters inside the jit, and updates adapters alone (the base
     never receives gradients or optimizer state).
     """
+    if remat_policy not in ("auto", "nothing", "dots"):
+        raise ValueError(
+            f"remat_policy must be 'auto', 'nothing', or 'dots'; "
+            f"got {remat_policy!r}"
+        )
 
     def loss_fn(train_params, base_params, microbatch):
         if lora_cfg is not None:

@@ -22,17 +22,27 @@ def record_check(name: str, ok: bool, **fields) -> None:
     entry = {"ok": bool(ok), "ts": int(time.time())}
     for k, v in fields.items():
         entry[k] = round(v, 4) if isinstance(v, float) else v
-    data = {}
-    if os.path.exists(CHECKS_PATH):
-        try:
-            with open(CHECKS_PATH) as f:
-                data = json.load(f)
-        except Exception:
-            data = {}
-    data[name] = entry
-    with open(CHECKS_PATH, "w") as f:
-        json.dump(data, f, indent=1, sort_keys=True)
-        f.write("\n")
+    # Concurrent check scripts (e.g. a tunnel-recovery watcher) can race on
+    # this file: serialize the read-modify-write under an fcntl lock and
+    # publish via atomic rename so a crash never leaves a truncated file.
+    import fcntl
+
+    lock_path = CHECKS_PATH + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        data = {}
+        if os.path.exists(CHECKS_PATH):
+            try:
+                with open(CHECKS_PATH) as f:
+                    data = json.load(f)
+            except Exception:
+                data = {}
+        data[name] = entry
+        tmp = CHECKS_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.replace(tmp, CHECKS_PATH)
 
 
 def setup_cache(jax):

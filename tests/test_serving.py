@@ -355,6 +355,31 @@ def test_greedy_server_ignores_per_request_overrides():
     np.testing.assert_array_equal(server.results[rid], solo)
 
 
+def test_uniform_fast_path_engages_with_inexact_default_temp():
+    """Regression: a default temperature that is not exactly representable
+    in float32 (e.g. 0.9) must still count as "uniform" when every slot
+    runs defaults — the slot vector is float32, so the default must be
+    canonicalized through float32 or the comparison is always False and
+    the static fast-path programs silently never engage."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    server = CSMServer(params, cfg, n_slots=2, window=64,
+                       temperature=0.9, topk=5, max_new_frames=3)
+    ids, mask = _prompt(cfg, 5, seed=71)
+    server.submit(ids, mask, rng=jax.random.key(72))  # all defaults
+    assert server._uniform_active()
+    # An explicit override equal to the default is also uniform (same
+    # canonicalization at submit).
+    server.submit(ids, mask, rng=jax.random.key(73), temperature=0.9)
+    assert server._uniform_active()
+    server.run_until_idle()
+
+
 def test_prefix_error_paths():
     """Unknown prefix ids fail fast at submit; a prefix dropped while its
     request sat queued soft-fails that request (empty result + warning)

@@ -327,3 +327,20 @@ def test_evaluate_token_weighted(trainer_setup, tmp_path):
             labels=jnp.asarray(coll([eval_ds[0]])["labels"]),
         ).backbone_targets))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_remat_policy_typo_raises():
+    """A misspelled remat policy must error, not silently resolve to the
+    save-nothing policy (a user asking for 'dots' could otherwise get the
+    slow path with no warning)."""
+    import optax
+
+    from csm_tpu.config import CSMConfig
+    from csm_tpu.train.loop import make_train_step
+
+    cfg = CSMConfig.tiny()
+    opt = optax.sgd(1e-3)
+    with pytest.raises(ValueError, match="remat_policy"):
+        make_train_step(cfg, opt, max_decoder_frames=2, remat_policy="dot")
+    with pytest.raises(ValueError, match="remat_policy"):
+        make_train_step(cfg, opt, max_decoder_frames=2, remat_policy="Dots")
