@@ -269,6 +269,13 @@ def _attend_merged(
     values yields outputs, recovered by masking the off-block columns and
     summing.  The zero blocks contribute exact fp 0.0 partials, so results
     are bit-identical to the looped form.  Returns ``[B, T, nq*hd]`` f32.
+
+    Dot operands ride the MXU in bf16 (f32 accumulation): K/V arrive from
+    bf16 storage (matching the XLA path's bf16 KV cache), q and the probs
+    round through bf16 — this halves the block-diagonal operand's VMEM
+    footprint (the B=16 single-program tier's scoped-VMEM budget is the
+    binding constraint) and is the dtype the XLA Llama stack uses for its
+    attention matmuls anyway.  Softmax stays f32.
     """
     B, T, nq, hd = q.shape
     S = k_cat.shape[0]
@@ -288,7 +295,9 @@ def _attend_merged(
     qz = q.reshape(R, 1, hd) * bmask[:, :, None]  # [R, C, hd]
 
     scores = jax.lax.dot_general(
-        qz.reshape(R, C * hd), k_cat, (((1,), (1,)), ((), ())),
+        qz.reshape(R, C * hd).astype(jnp.bfloat16),
+        k_cat.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [R, S]
     qpos = pos0 + jax.lax.broadcasted_iota(jnp.int32, (R, S), 0) % (T * nq) // nq
@@ -298,7 +307,8 @@ def _attend_merged(
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
     out = jax.lax.dot_general(
-        probs, v_cat, (((1,), (0,)), ((), ())),
+        probs.astype(jnp.bfloat16), v_cat.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [R, C*hd] — row (b,t,i)'s true output sits in column block (b, i//g)
     out = jnp.sum(out.reshape(R, C, hd) * bmask[:, :, None], axis=1)  # [R, hd]
@@ -419,8 +429,26 @@ def _decoder_pass(
             .swapaxes(0, 1)
             .reshape(T, B * nkv * hd)
         )
-        kv_k[l, pl.ds(pos0, T), :] = k_rows
-        kv_v[l, pl.ds(pos0, T), :] = v_rows
+        if isinstance(pos0, int):
+            # Static start (the 2-token prefill at position 0): a direct
+            # vector store, provably tile-aligned.
+            kv_k[l, pl.ds(pos0, T), :] = k_rows.astype(jnp.bfloat16)
+            kv_v[l, pl.ds(pos0, T), :] = v_rows.astype(jnp.bfloat16)
+        else:
+            # Traced position (the per-step single-row append): bf16 VMEM
+            # packs two sublanes per register row, so Mosaic rejects a
+            # vector store at an offset it cannot prove 8-aligned — update
+            # the row by a masked full-buffer select instead (the window is
+            # a few hundred KB of VMEM; the following attention reads all
+            # of it anyway).  Values are identical to the sliced store, so
+            # the emulator's dynamic_update_slice stays bit-exact.
+            assert T == 1, "traced-position KV append is single-row"
+            P_rows = kv_k.shape[1]
+            row_sel = (
+                jax.lax.broadcasted_iota(jnp.int32, (P_rows, 1), 0) == pos0
+            )
+            kv_k[l] = jnp.where(row_sel, k_rows.astype(jnp.bfloat16), kv_k[l])
+            kv_v[l] = jnp.where(row_sel, v_rows.astype(jnp.bfloat16), kv_v[l])
         attn = _attend_merged(
             q.reshape(B, T, nq, hd), kv_k[l], kv_v[l], pos0, nkv
         ).reshape(B * T, nq * hd)
@@ -459,28 +487,48 @@ def _make_kernel(
         wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused, norm-folded)
         sqkv, so, sgu, sd,  # VMEM f32 [L, 1, N]
         cos_ref, sin_ref,  # VMEM f32 [P, hd]
-        hs_ref,  # VMEM f32 [N-1, 1, Va_pad] head rescale (dummy unless head_scaled)
+        hs_hbm,  # ANY f32 [N-1, 1, Va_pad] head rescale (dummy unless head_scaled)
         gumbel_hbm,  # ANY f32 [N, B, Va_pad] — row i: codebook i's noise
         head_hbm,  # ANY [N-1, Dd, Va_pad]
         emb_hbm,  # ANY [rows, sub, lanes]
         samples_ref,  # out VMEM (B, N) int32
         head_buf,  # scratch VMEM (head_slots, Dd, Va_pad) head_dtype
         emb_buf,  # scratch VMEM (B, sub, lanes) emb dtype
-        kv_k, kv_v,  # scratch VMEM (L, P, B*nkv*hd) f32 — merged layout
+        kv_k, kv_v,  # scratch VMEM (L, P, B*nkv*hd) bf16 — merged layout
         gum_buf,  # scratch VMEM (2, B, Va_pad) f32 — double-buffered noise
+        hs_buf,  # scratch VMEM (head_slots, 1, Va_pad) f32 — streamed rescale
         head_sem,  # DMA sem (head_slots,)
         emb_sem,  # DMA sem (B,)
         gum_sem,  # DMA sem (2,)
+        hs_sem,  # DMA sem (head_slots,)
     ):
         w_refs = dict(zip(_KERNEL_MATS, (wqkv, wo, wgu, wd)))
         s_refs = dict(zip(_KERNEL_MATS, (sqkv, so, sgu, sd)))
         temp = temp_ref[...]  # [B, 1]
         topk = topk_ref[...]  # [B, 1]
 
-        def head_dma(slot, i):
-            return pltpu.make_async_copy(
+        # Head slice i and (int8 head) its f32 rescale row stream together:
+        # the rescale rides its own small DMA into a per-slot buffer rather
+        # than sitting in VMEM as an [N-1, 1, Va_pad] input indexed by a
+        # traced loop counter — the row consumed is always the one the
+        # slot's semaphore ordered, and the full table costs no VMEM.
+        def _head_copies(slot, i):
+            copies = [pltpu.make_async_copy(
                 head_hbm.at[i], head_buf.at[slot], head_sem.at[slot]
-            )
+            )]
+            if head_scaled:
+                copies.append(pltpu.make_async_copy(
+                    hs_hbm.at[i], hs_buf.at[slot], hs_sem.at[slot]
+                ))
+            return copies
+
+        def head_dma_start(slot, i):
+            for c in _head_copies(slot, i):
+                c.start()
+
+        def head_dma_wait(slot, i):
+            for c in _head_copies(slot, i):
+                c.wait()
 
         # Gumbel noise rows stream from HBM, double-buffered two steps
         # ahead — keeping the [N, B, Va_pad] table OUT of VMEM (it alone
@@ -521,7 +569,7 @@ def _make_kernel(
         kv_k[...] = jnp.zeros(kv_k.shape, kv_k.dtype)
         kv_v[...] = jnp.zeros(kv_v.shape, kv_v.dtype)
 
-        head_dma(0, 0).start()
+        head_dma_start(0, 0)
         gum_dma(0).start()
         gum_dma(1).start()
 
@@ -556,7 +604,7 @@ def _make_kernel(
         def classify(h_last, i):
             """Head matmul + sample for codebook ``i`` (head slice i-1)."""
             slot = 0 if head_slots == 1 else (i - 1) % 2
-            head_dma(slot, i - 1).wait()
+            head_dma_wait(slot, i - 1)
             # int8 head (head_scaled): W8A16 dot + f32 per-channel rescale;
             # bf16 head: plain dot in the head's own dtype.
             x = h_last.astype(jnp.bfloat16 if head_scaled else head_dtype)
@@ -565,7 +613,7 @@ def _make_kernel(
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             )  # [B, Va_pad]
             if head_scaled:
-                logits = logits * hs_ref[i - 1]
+                logits = logits * hs_buf[slot]
             # Round through bf16 to mirror the XLA path's head-matmul output
             # dtype, keeping greedy decisions comparable across paths; mask
             # the zero-padded vocab lanes out of contention.
@@ -576,14 +624,14 @@ def _make_kernel(
         def step(i, carry):  # i ∈ [1, N-2]: classify + advance the decoder
             h_last, samples = carry
             if head_slots == 2:
-                head_dma(i % 2, i).start()  # i ≤ N-2 always has a next slice
+                head_dma_start(i % 2, i)  # i ≤ N-2 always has a next slice
             ci = classify(h_last, i)
             if head_slots == 1:
                 # Single-buffered: start slice i only AFTER classify consumed
                 # slice i-1 (the WAR dependency on head_buf orders the
                 # enqueue after the dot's reads).  The ~5 µs slice DMA then
                 # hides under the decoder pass below, so nothing is exposed.
-                head_dma(0, i).start()
+                head_dma_start(0, i)
             samples = jnp.where(col == i, ci[:, None], samples)
 
             # Fetch the pre-projected embedding of each stream's ci
@@ -672,17 +720,18 @@ def fused_decode_codebooks(
     in_specs = (
         [vm, vm, vm, vm]  # temp, topk, x0, c0 logits
         + [vm] * (2 * len(_KERNEL_MATS))
-        + [vm] * 3  # rope tables + head rescale
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 3  # gumbel, head, emb tables
+        + [vm] * 2  # rope tables
+        # head rescale (streamed per-row), gumbel, head, emb tables
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 4
     )
 
     vmem_bytes = sum(int(w.size * w.dtype.itemsize) for w in weights)
-    vmem_bytes += int(hs.size) * 4
     vmem_bytes += (
         head_slots * Dd * Va_pad * jnp.dtype(head_dtype).itemsize
     )  # head_buf
     vmem_bytes += 2 * B * Va_pad * 4  # gum_buf (noise streams from HBM)
-    # Temporaries, KV scratch, and the small VMEM inputs (c0 logits
+    vmem_bytes += head_slots * Va_pad * 4  # hs_buf (rescale rows stream too)
+    # Temporaries, KV scratch (bf16), and the small VMEM inputs (c0 logits
     # [B, Va_pad] + rope tables); the gumbel table itself stays in HBM so
     # batch growth costs VMEM only through the [B, ...] activations.
     vmem_bytes += 10 * 1024 * 1024
@@ -695,12 +744,14 @@ def fused_decode_codebooks(
         scratch_shapes=[
             pltpu.VMEM((head_slots, Dd, Va_pad), head_dtype),
             pltpu.VMEM((B, sub, lanes), qdec["proj_emb"].dtype),
-            pltpu.VMEM((L, P, B * nkv * hd), jnp.float32),
-            pltpu.VMEM((L, P, B * nkv * hd), jnp.float32),
+            pltpu.VMEM((L, P, B * nkv * hd), jnp.bfloat16),
+            pltpu.VMEM((L, P, B * nkv * hd), jnp.bfloat16),
             pltpu.VMEM((2, B, Va_pad), jnp.float32),
+            pltpu.VMEM((head_slots, 1, Va_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((head_slots,)),
             pltpu.SemaphoreType.DMA((B,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((head_slots,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 127 * 1024 * 1024),
@@ -764,8 +815,10 @@ def emulate_decode_codebooks(
     c0_logits = jnp.pad(c0_logits, ((0, 0), (0, Va_pad - Va)))
     vcol = jnp.arange(Va_pad)[None, :]
 
-    kv_k = jnp.zeros((L, nkv, P, hd), jnp.float32)
-    kv_v = jnp.zeros((L, nkv, P, hd), jnp.float32)
+    # bf16 KV storage, mirroring the kernel's scratch (and the XLA path's
+    # bf16 KV cache); attention math upcasts at the dots (_attend_merged).
+    kv_k = jnp.zeros((L, nkv, P, hd), jnp.bfloat16)
+    kv_v = jnp.zeros((L, nkv, P, hd), jnp.bfloat16)
     cos, sin = qdec["cos"], qdec["sin"]
     proj_emb_flat = qdec["proj_emb"].reshape(qdec["proj_emb"].shape[0], Dd)
 
@@ -783,11 +836,11 @@ def emulate_decode_codebooks(
             q = _rope_f32(q, c, s)
             k = _rope_f32(k, c, s)
             kv_k = jax.lax.dynamic_update_slice(
-                kv_k, k.transpose(1, 0, 2)[None, :, :, :].astype(jnp.float32),
+                kv_k, k.transpose(1, 0, 2)[None, :, :, :].astype(jnp.bfloat16),
                 (l, 0, pos0, 0),
             )
             kv_v = jax.lax.dynamic_update_slice(
-                kv_v, v.transpose(1, 0, 2)[None, :, :, :].astype(jnp.float32),
+                kv_v, v.transpose(1, 0, 2)[None, :, :, :].astype(jnp.bfloat16),
                 (l, 0, pos0, 0),
             )
             attn = _attend(q, kv_k[l], kv_v[l], pos0)
