@@ -269,7 +269,14 @@ class CSMServer:
       that admission fully overwrites) — the batch shape never changes, so
       the step stays within two compiled programs (a closure-static
       default-parameter variant for the common all-defaults case, and the
-      per-row-vector variant when request parameters mix).
+      per-row-vector variant when request parameters mix);
+    - STREAMING AUDIO (``codec=``): each slot owns a batch-1
+      ``StreamingMimiDecoder`` reset at admission; every generated frame is
+      decoded to an 80 ms PCM hop as it is observed, and a finished
+      request's full waveform lands in :attr:`audio` next to its token
+      frames in :attr:`results` (BASELINE config 4's "on-device streaming
+      Mimi decode"; the reference's offline equivalent is
+      ``/root/reference/README.md:114-118``).
     """
 
     def __init__(
@@ -286,6 +293,7 @@ class CSMServer:
         qdec: Optional[dict] = None,
         qbb: Optional[dict] = None,
         qsb: Optional[dict] = None,
+        codec=None,
     ):
         self.params = params
         self.config = config
@@ -452,6 +460,19 @@ class CSMServer:
         self._n_prefills = 0
         self._n_prefix_prefills = 0
 
+        # Streaming audio (BASELINE config 4: on-device streaming Mimi
+        # decode per stream).  Each slot owns a batch-1 StreamingMimiDecoder
+        # whose conv/transformer state is RESET at admission — slots sit at
+        # unrelated positions in unrelated utterances, so a shared batched
+        # decoder state (one scalar stream position) cannot serve them.
+        # The decoder objects persist across requests (their jitted step is
+        # compiled once); only the state pytree is re-zeroed.
+        self.codec = codec
+        self._slot_dec = [None] * n_slots
+        self.audio: dict = {}  # rid -> [n_samples] f32 PCM (finished)
+        self._pcm: dict = {}  # rid -> list of per-frame chunks (running)
+        self._n_audio_samples = 0
+
     # ------------------------------------------------------------------
 
     @property
@@ -479,6 +500,7 @@ class CSMServer:
             "queued": len(self._pending),
             "completed": len(self.results),
             "frames_emitted": int(self._n_frames),
+            "audio_samples": int(self._n_audio_samples),
             "prefills": int(self._n_prefills),
             "prefix_prefills": int(self._n_prefix_prefills),
             "prefixes_registered": len(self._prefixes),
@@ -606,6 +628,8 @@ class CSMServer:
                 self.results[rid] = np.zeros(
                     (0, self.config.audio_num_codebooks), np.int64
                 )
+                if self.codec is not None:
+                    self.audio[rid] = np.zeros((0,), np.float32)
                 return
             pre_cache, S0 = self._prefixes[prefix_id]
         else:
@@ -663,6 +687,14 @@ class CSMServer:
         self._topk_v[slot] = k
         self._greedy_v[slot] = gr
         self._frames[rid] = []
+        if self.codec is not None:
+            from csm_tpu.codec.streaming import StreamingMimiDecoder
+
+            if self._slot_dec[slot] is None:
+                self._slot_dec[slot] = StreamingMimiDecoder(self.codec, batch=1)
+            else:
+                self._slot_dec[slot].reset()
+            self._pcm[rid] = []
         self._observe(slot, np.asarray(out.samples)[0])
 
     def _observe(self, slot, frame: np.ndarray, drain: bool = True):
@@ -670,6 +702,17 @@ class CSMServer:
         stopped = self.stop_on_all_zeros and not frame.any()
         if not stopped:
             self._frames[rid].append(frame.copy())
+            if self.codec is not None:
+                # One frame of codes -> one hop of PCM through this slot's
+                # streaming decoder (state carried frame to frame, reset at
+                # admission).  The stop frame itself is never voiced — it
+                # is the EOS marker, matching the reference recipe which
+                # decodes only the returned frames
+                # (/root/reference/README.md:114-118).
+                q = self.codec.num_codebooks
+                chunk = self._slot_dec[slot].feed(frame[None, :q, None])
+                self._pcm[rid].append(chunk[0])
+                self._n_audio_samples += chunk.shape[-1]
             self._budget[slot] -= 1
             self._depth[slot] += 1
             self._n_frames += 1
@@ -683,6 +726,11 @@ class CSMServer:
             np.stack(frames) if frames
             else np.zeros((0, self.config.audio_num_codebooks), np.int64)
         )
+        if self.codec is not None:
+            pcm = self._pcm.pop(rid, [])
+            self.audio[rid] = (
+                np.concatenate(pcm) if pcm else np.zeros((0,), np.float32)
+            )
         self._slot_req[slot] = None
         if drain:
             self._drain_pending()
@@ -699,6 +747,8 @@ class CSMServer:
                 self.results[rid] = np.zeros(
                     (0, self.config.audio_num_codebooks), np.int64
                 )
+                if self.codec is not None:
+                    self.audio[rid] = np.zeros((0,), np.float32)
                 return True
         for slot in range(self.n_slots):
             if self._slot_req[slot] == rid:

@@ -355,6 +355,44 @@ def test_greedy_server_ignores_per_request_overrides():
     np.testing.assert_array_equal(server.results[rid], solo)
 
 
+def test_server_streaming_audio_matches_offline_decode():
+    """CSMServer(codec=...): every slot's chunked PCM equals the offline
+    decode of its result frames — including a request admitted into a
+    REUSED slot (the per-slot streaming decoder state must reset at
+    admission or the previous occupant's conv/KV state leaks into the new
+    stream's audio)."""
+    import jax
+
+    from csm_tpu.codec import MimiCodec, MimiCodecConfig, random_mimi_params
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    ccfg = MimiCodecConfig.tiny(num_quantizers=cfg.audio_num_codebooks)
+    codec = MimiCodec(ccfg, random_mimi_params(ccfg, seed=7))
+
+    budget = 4
+    server = CSMServer(params, cfg, n_slots=2, window=64, greedy=True,
+                       stop_on_all_zeros=False, max_new_frames=budget,
+                       codec=codec)
+    rids = []
+    for i, S in enumerate((5, 7, 6)):  # 3 requests, 2 slots: one queued
+        ids, mask = _prompt(cfg, S, seed=80 + i)
+        rids.append(server.submit(ids, mask, rng=jax.random.key(90 + i)))
+    server.run_until_idle()
+
+    hop = int(2 * ccfg.total_stride)
+    for rid in rids:
+        frames = server.results[rid]  # [F, 32]
+        assert frames.shape[0] == budget
+        offline = codec.decode(frames.T.astype(np.int32))  # [samples]
+        got = server.audio[rid]
+        assert got.shape == (budget * hop,)
+        np.testing.assert_allclose(got, offline, rtol=1e-4, atol=1e-5)
+    assert server.stats()["audio_samples"] == 3 * budget * hop
+
+
 def test_uniform_fast_path_engages_with_inexact_default_temp():
     """Regression: a default temperature that is not exactly representable
     in float32 (e.g. 0.9) must still count as "uniform" when every slot
