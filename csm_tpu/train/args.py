@@ -70,6 +70,11 @@ class TrainingArguments:
     # "nothing" = minimum memory (full per-layer recompute); "dots" keeps
     # matmul outputs (~65 MB/layer/item at S=2048) and skips recomputing
     # the projections.
+    dataloader_prefetch: int = 2  # background-prefetched global batches:
+    # a daemon thread runs the dataset's audio decode + Mimi encode +
+    # collation + host→device transfer for batch i+k while the device runs
+    # step i (the reference gets the same overlap from DataLoader workers,
+    # train.py:253-255).  0 = fully synchronous.
     max_seq_length: int = 2048  # hard cap / fallback static frame bucket
     pad_to_multiple: int = 64  # length-bucket granularity: batches pad to the
     # next multiple instead of always paying the full max_seq_length

@@ -374,6 +374,48 @@ class CSMTrainer:
             buf = [buf[j % n] for j in range(need)]
             yield self._collate_group(buf, accum)
 
+    def _prefetched(self, it: Iterator) -> Iterator:
+        """Bounded background prefetch over a batch iterator.
+
+        The reference overlaps data work with device steps for free via
+        DataLoader workers (``/root/reference/train.py:253-255``) — and its
+        survey-noted cost (Mimi encode inside ``__getitem__``) applies
+        here too.  A daemon thread materializes item i+k (audio decode,
+        Mimi encode, collation, host→device transfer) while the device
+        runs step i; the queue is bounded (``args.dataloader_prefetch``,
+        default 2) so at most that many global batches sit in flight.
+        Exceptions in the worker re-raise in the training loop.  Depth 0
+        disables (fully synchronous, the pre-round-4 behavior).
+        """
+        depth = int(getattr(self.args, "dataloader_prefetch", 2) or 0)
+        if depth <= 0:
+            yield from it
+            return
+        import queue as queue_mod
+        import threading
+
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in it:
+                    q.put(item)
+                q.put(sentinel)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
+
+        threading.Thread(
+            target=worker, daemon=True, name="csm-batch-prefetch"
+        ).start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
     def _collate_group(self, buf, accum):
         collated = self.data_collator(buf)
         return {
@@ -437,19 +479,25 @@ class CSMTrainer:
         last = {}
         t0 = time.time()
         need = self.global_batch * args.gradient_accumulation_steps
-        with self.mesh:
-            # Resume fast-forwards by INDEX (O(1)): skipped items are never
-            # loaded, so no replayed audio decode / Mimi encode per skipped
-            # step.  Amortization draws stay reproducible because the
-            # dataset seeds its RNG per item index.
-            for step, batch in enumerate(
-                self._batches(skip_items=start_step * need), start=start_step + 1
-            ):
+        # Resume fast-forwards by INDEX (O(1)): skipped items are never
+        # loaded, so no replayed audio decode / Mimi encode per skipped
+        # step.  Amortization draws stay reproducible because the
+        # dataset seeds its RNG per item index.
+        def device_batches():
+            # Host→device placement happens HERE so the prefetch thread
+            # overlaps the transfer too (put_global_batch carries its
+            # sharding explicitly — no ambient-mesh dependence).
+            for batch in self._batches(skip_items=start_step * need):
                 s_len = batch["input_ids"].shape[2]
-                batch = put_global_batch(
+                yield put_global_batch(
                     batch,
                     mb_sharding_seq if s_len % self._seq == 0 else mb_sharding,
                 )
+
+        with self.mesh:
+            for step, batch in enumerate(
+                self._prefetched(device_batches()), start=start_step + 1
+            ):
                 self.state, metrics = self._step_fn(self.state, self.base_params, batch)
                 if args.logging_steps and step % args.logging_steps == 0:
                     last = {k: float(v) for k, v in metrics.items()}

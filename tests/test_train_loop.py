@@ -344,3 +344,58 @@ def test_remat_policy_typo_raises():
         make_train_step(cfg, opt, max_decoder_frames=2, remat_policy="dot")
     with pytest.raises(ValueError, match="remat_policy"):
         make_train_step(cfg, opt, max_decoder_frames=2, remat_policy="Dots")
+
+
+def test_prefetch_overlaps_slow_getitem(trainer_setup, tmp_path):
+    """A slow ``__getitem__`` (sleep-injected) no longer inflates step wall
+    time: with prefetch the worker prepares batch i+1 while the consumer is
+    busy with step i, so total time ≈ max(data, steps), not the sum
+    (reference equivalent: DataLoader workers, train.py:253-255)."""
+    import time
+
+    cfg, params, TrainingArguments, CSMTrainer, make_mesh = trainer_setup
+    trainer = _make_trainer(cfg, params, TrainingArguments, CSMTrainer,
+                            make_mesh, tmp_path, data=2, model=1)
+    trainer.args.dataloader_prefetch = 2
+
+    n, t_data, t_step = 4, 0.10, 0.12
+
+    def slow_batches():
+        for i in range(n):
+            time.sleep(t_data)  # stand-in for audio decode + Mimi encode
+            yield {"i": i}
+
+    t0 = time.time()
+    seen = []
+    for item in trainer._prefetched(slow_batches()):
+        time.sleep(t_step)  # stand-in for the device step
+        seen.append(item["i"])
+    elapsed = time.time() - t0
+    assert seen == list(range(n))
+    sync_time = n * (t_data + t_step)  # what depth=0 would cost
+    # Overlapped bound: first batch's data wait + the steps; generous
+    # margin for scheduler noise, but well under the synchronous sum.
+    assert elapsed < sync_time - 0.5 * t_data, elapsed
+
+    # Depth 0 disables cleanly (the pre-prefetch behavior).
+    trainer.args.dataloader_prefetch = 0
+    assert [b["i"] for b in trainer._prefetched(slow_batches())] == seen
+
+
+def test_prefetch_preserves_training_determinism(trainer_setup, tmp_path):
+    """Prefetched and synchronous runs produce identical losses (ordering
+    and amortization draws are untouched by the background thread)."""
+    import jax
+
+    from csm_tpu.models import csm as csm_mod
+
+    cfg, params, TrainingArguments, CSMTrainer, make_mesh = trainer_setup
+    losses = {}
+    for depth in (0, 2):
+        fresh = csm_mod.init_params(jax.random.key(0), cfg)
+        trainer = _make_trainer(cfg, fresh, TrainingArguments, CSMTrainer,
+                                make_mesh, tmp_path / f"d{depth}",
+                                data=2, model=1)
+        trainer.args.dataloader_prefetch = depth
+        losses[depth] = trainer.train()["loss"]
+    assert losses[0] == pytest.approx(losses[2], rel=1e-6)
