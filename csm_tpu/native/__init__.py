@@ -54,7 +54,8 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_long),
         ]
-        for fn in ("wav_read", "flac_read", "mp3_read", "ogg_read", "audio_read"):
+        for fn in ("wav_read", "flac_read", "mp3_read", "ogg_read", "audio_read",
+                   "ffmpeg_read"):
             getattr(lib, fn).restype = ctypes.c_int
             getattr(lib, fn).argtypes = read_sig
         lib.wav_free.argtypes = [c_float_p]
@@ -87,7 +88,17 @@ def _read_via(fn_name: str, path: str) -> Tuple[np.ndarray, int]:
         ctypes.byref(rate), ctypes.byref(frames),
     )
     if rc != 0:
-        raise IOError(f"{fn_name}({path}) failed with code {rc}")
+        hint = ""
+        if rc == -30:
+            hint = (
+                "; unrecognized container — supported natively: WAV, FLAC, "
+                "MP3, OGG/Vorbis; AAC/M4A/MP4 and other containers require "
+                "the system FFmpeg libraries (libavformat/libavcodec), "
+                "which could not be loaded"
+            )
+        elif rc in (-51, -52, -53, -54, -55, -56, -57):
+            hint = "; FFmpeg could not decode an audio stream from this file"
+        raise IOError(f"{fn_name}({path}) failed with code {rc}{hint}")
     try:
         n = frames.value * ch.value
         arr = np.ctypeslib.as_array(data, shape=(n,)).copy()
@@ -102,9 +113,21 @@ def wav_read(path: str) -> Tuple[np.ndarray, int]:
 
 
 def audio_read(path: str) -> Tuple[np.ndarray, int]:
-    """Any supported container (WAV / FLAC / MP3, sniffed by magic bytes)
-    → (``[channels, samples]`` float32, sample_rate)."""
+    """Any supported container → (``[channels, samples]`` float32,
+    sample_rate).  WAV / FLAC / MP3 / OGG are sniffed by magic bytes and
+    decoded by the built-in paths; anything else (AAC/M4A/MP4, WMA, ALAC,
+    ...) falls back to the system FFmpeg libraries when present — matching
+    the breadth the reference gets from torchaudio
+    (``/root/reference/train.py:117-126``).  Raises ``IOError`` naming the
+    support matrix when no decoder can handle the file."""
     return _read_via("audio_read", path)
+
+
+def ffmpeg_read(path: str) -> Tuple[np.ndarray, int]:
+    """Decode ``path`` through the FFmpeg backstop directly (bypasses the
+    magic-byte dispatch; used by tests to exercise the FFmpeg path on
+    containers the built-ins would otherwise claim)."""
+    return _read_via("ffmpeg_read", path)
 
 
 def wav_write(path: str, wave: np.ndarray, sample_rate: int) -> None:

@@ -13,9 +13,13 @@
 //   * MP3 — decoded through the system libmpg123 (dlopen'd at runtime, no
 //     headers needed); 16-bit output converted to float32.
 //   * OGG/Vorbis — decoded through the system libvorbisfile (dlopen'd).
+//   * AAC/M4A/MP4, WMA, ALAC, ... — the system FFmpeg libraries
+//     (libavformat/libavcodec, dlopen'd; compiled against installed
+//     headers, never linked) as a breadth backstop.
 //   * audio_read — container sniffing (RIFF / fLaC / OggS / MP3 ID3 or
-//     frame sync) dispatching to the right decoder, so Python has one
-//     entry point for any supported file.
+//     frame sync) dispatching to the right decoder, with the FFmpeg
+//     backstop for unknown containers or variants the built-ins reject
+//     (e.g. mu-law WAV), so Python has one entry point for any file.
 //
 // All outputs are malloc'd interleaved float32 in [-1, 1], released with
 // wav_free (audio.cpp).
@@ -26,6 +30,13 @@
 #include <cstring>
 #include <dlfcn.h>
 #include <vector>
+
+// FFmpeg breadth backstop (AAC/M4A/...): compiled against the installed
+// headers, resolved via dlopen at runtime (see the FFmpeg section below).
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+}
 
 extern "C" {
 int wav_read(const char* path, float** out, int* channels, int* sample_rate,
@@ -512,6 +523,214 @@ int ogg_decode(const char* path, float** out, int* channels, int* sample_rate,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Everything else (AAC/M4A/MP4, WMA, ALAC, ...) via system FFmpeg
+// (libavformat + libavcodec, dlopen'd at runtime).  Compiled against the
+// installed headers but never linked: absent libraries degrade to a clear
+// "unsupported container" error instead of an import failure.  This is the
+// breadth backstop matching the reference's torchaudio/ffmpeg backend
+// (/root/reference/train.py:117-126) for containers the from-scratch and
+// single-codec paths above don't cover.
+// ---------------------------------------------------------------------------
+
+struct FFmpeg {
+  void* so_fmt = nullptr;
+  void* so_cod = nullptr;
+  int (*open_input)(AVFormatContext**, const char*, const AVInputFormat*,
+                    AVDictionary**);
+  int (*find_stream_info)(AVFormatContext*, AVDictionary**);
+  int (*find_best_stream)(AVFormatContext*, enum AVMediaType, int, int,
+                          const AVCodec**, int);
+  int (*read_frame)(AVFormatContext*, AVPacket*);
+  void (*close_input)(AVFormatContext**);
+  AVCodecContext* (*alloc_context)(const AVCodec*);
+  int (*params_to_context)(AVCodecContext*, const AVCodecParameters*);
+  int (*open2)(AVCodecContext*, const AVCodec*, AVDictionary**);
+  int (*send_packet)(AVCodecContext*, const AVPacket*);
+  int (*receive_frame)(AVCodecContext*, AVFrame*);
+  void (*free_context)(AVCodecContext**);
+  AVPacket* (*packet_alloc)();
+  void (*packet_unref)(AVPacket*);
+  void (*packet_free)(AVPacket**);
+  AVFrame* (*frame_alloc)();
+  void (*frame_unref)(AVFrame*);
+  void (*frame_free)(AVFrame**);
+  bool ok = false;
+};
+
+FFmpeg& ffmpeg() {
+  static FFmpeg m;
+  static bool tried = false;
+  if (tried) return m;
+  tried = true;
+  // avformat's DT_NEEDED pulls avcodec/avutil; GLOBAL so avcodec's dlopen
+  // resolves shared avutil symbols from one copy.
+  for (const char* name : {"libavformat.so.59", "libavformat.so"}) {
+    m.so_fmt = dlopen(name, RTLD_NOW | RTLD_GLOBAL);
+    if (m.so_fmt) break;
+  }
+  for (const char* name : {"libavcodec.so.59", "libavcodec.so"}) {
+    m.so_cod = dlopen(name, RTLD_NOW | RTLD_GLOBAL);
+    if (m.so_cod) break;
+  }
+  if (!m.so_fmt || !m.so_cod) return m;
+#define LF(handle, sym, field) \
+  *(void**)(&m.field) = dlsym(m.handle, sym); \
+  if (!m.field) return m;
+  LF(so_fmt, "avformat_open_input", open_input)
+  LF(so_fmt, "avformat_find_stream_info", find_stream_info)
+  LF(so_fmt, "av_find_best_stream", find_best_stream)
+  LF(so_fmt, "av_read_frame", read_frame)
+  LF(so_fmt, "avformat_close_input", close_input)
+  LF(so_cod, "avcodec_alloc_context3", alloc_context)
+  LF(so_cod, "avcodec_parameters_to_context", params_to_context)
+  LF(so_cod, "avcodec_open2", open2)
+  LF(so_cod, "avcodec_send_packet", send_packet)
+  LF(so_cod, "avcodec_receive_frame", receive_frame)
+  LF(so_cod, "avcodec_free_context", free_context)
+  LF(so_cod, "av_packet_alloc", packet_alloc)
+  LF(so_cod, "av_packet_unref", packet_unref)
+  LF(so_cod, "av_packet_free", packet_free)
+  LF(so_cod, "av_frame_alloc", frame_alloc)
+  LF(so_cod, "av_frame_unref", frame_unref)
+  LF(so_cod, "av_frame_free", frame_free)
+#undef LF
+  m.ok = true;
+  return m;
+}
+
+// One decoded frame's samples -> interleaved float32 appended to pcm.
+// Handles the sample formats FFmpeg audio decoders actually emit.
+bool append_frame_samples(const AVFrame* fr, int ch, std::vector<float>& pcm) {
+  const int n = fr->nb_samples;
+  size_t base = pcm.size();
+  pcm.resize(base + (size_t)n * ch);
+  float* dst = pcm.data() + base;
+  auto planar = [&](auto convert) {
+    for (int i = 0; i < n; i++)
+      for (int c = 0; c < ch; c++) dst[(size_t)i * ch + c] = convert(c, i);
+  };
+  switch (fr->format) {
+    case AV_SAMPLE_FMT_FLT: {
+      const float* s = (const float*)fr->data[0];
+      memcpy(dst, s, sizeof(float) * (size_t)n * ch);
+      return true;
+    }
+    case AV_SAMPLE_FMT_FLTP:
+      planar([&](int c, int i) { return ((const float*)fr->data[c])[i]; });
+      return true;
+    case AV_SAMPLE_FMT_S16: {
+      const int16_t* s = (const int16_t*)fr->data[0];
+      for (size_t i = 0; i < (size_t)n * ch; i++) dst[i] = s[i] / 32768.0f;
+      return true;
+    }
+    case AV_SAMPLE_FMT_S16P:
+      planar([&](int c, int i) {
+        return ((const int16_t*)fr->data[c])[i] / 32768.0f;
+      });
+      return true;
+    case AV_SAMPLE_FMT_S32: {
+      const int32_t* s = (const int32_t*)fr->data[0];
+      for (size_t i = 0; i < (size_t)n * ch; i++)
+        dst[i] = (float)(s[i] / 2147483648.0);
+      return true;
+    }
+    case AV_SAMPLE_FMT_S32P:
+      planar([&](int c, int i) {
+        return (float)(((const int32_t*)fr->data[c])[i] / 2147483648.0);
+      });
+      return true;
+    case AV_SAMPLE_FMT_DBL: {
+      const double* s = (const double*)fr->data[0];
+      for (size_t i = 0; i < (size_t)n * ch; i++) dst[i] = (float)s[i];
+      return true;
+    }
+    case AV_SAMPLE_FMT_DBLP:
+      planar([&](int c, int i) {
+        return (float)((const double*)fr->data[c])[i];
+      });
+      return true;
+    case AV_SAMPLE_FMT_U8: {
+      const uint8_t* s = (const uint8_t*)fr->data[0];
+      for (size_t i = 0; i < (size_t)n * ch; i++)
+        dst[i] = (s[i] - 128) / 128.0f;
+      return true;
+    }
+    case AV_SAMPLE_FMT_U8P:
+      planar([&](int c, int i) {
+        return (((const uint8_t*)fr->data[c])[i] - 128) / 128.0f;
+      });
+      return true;
+    default:
+      pcm.resize(base);
+      return false;
+  }
+}
+
+int ffmpeg_decode(const char* path, float** out, int* channels,
+                  int* sample_rate, long* frames) {
+  FFmpeg& m = ffmpeg();
+  if (!m.ok) return -50;  // FFmpeg libraries unavailable
+  AVFormatContext* fmt = nullptr;
+  if (m.open_input(&fmt, path, nullptr, nullptr) < 0) return -51;
+  if (m.find_stream_info(fmt, nullptr) < 0) {
+    m.close_input(&fmt);
+    return -52;
+  }
+  const AVCodec* dec = nullptr;
+  int si = m.find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &dec, 0);
+  if (si < 0 || !dec) {
+    m.close_input(&fmt);
+    return -53;  // no decodable audio stream
+  }
+  AVCodecContext* ctx = m.alloc_context(dec);
+  if (!ctx || m.params_to_context(ctx, fmt->streams[si]->codecpar) < 0 ||
+      m.open2(ctx, dec, nullptr) < 0) {
+    if (ctx) m.free_context(&ctx);
+    m.close_input(&fmt);
+    return -54;
+  }
+  int ch = ctx->ch_layout.nb_channels;
+  int rate = ctx->sample_rate;
+  if (ch <= 0 || rate <= 0) {
+    m.free_context(&ctx);
+    m.close_input(&fmt);
+    return -55;
+  }
+
+  std::vector<float> pcm;
+  AVPacket* pkt = m.packet_alloc();
+  AVFrame* fr = m.frame_alloc();
+  bool bad_fmt = false;
+  auto drain = [&]() {
+    while (m.receive_frame(ctx, fr) == 0) {
+      if (!append_frame_samples(fr, ch, pcm)) bad_fmt = true;
+      m.frame_unref(fr);
+    }
+  };
+  while (m.read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == si && m.send_packet(ctx, pkt) == 0) drain();
+    m.packet_unref(pkt);
+  }
+  m.send_packet(ctx, nullptr);  // flush
+  drain();
+
+  m.frame_free(&fr);
+  m.packet_free(&pkt);
+  m.free_context(&ctx);
+  m.close_input(&fmt);
+  if (bad_fmt) return -56;  // unhandled sample format
+  if (pcm.empty()) return -57;
+
+  float* res = new float[pcm.size()];
+  memcpy(res, pcm.data(), sizeof(float) * pcm.size());
+  *out = res;
+  *channels = ch;
+  *sample_rate = rate;
+  *frames = (long)(pcm.size() / ch);
+  return 0;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -553,15 +772,29 @@ int audio_read(const char* path, float** out, int* channels, int* sample_rate,
   size_t got = fread(magic, 1, 4, f);
   fclose(f);
   if (got < 4) return -2;
+  int rc = 1;
   if (!memcmp(magic, "RIFF", 4))
-    return wav_read(path, out, channels, sample_rate, frames);
-  if (!memcmp(magic, "fLaC", 4))
-    return flac_read(path, out, channels, sample_rate, frames);
-  if (!memcmp(magic, "OggS", 4))
-    return ogg_read(path, out, channels, sample_rate, frames);
-  if (!memcmp(magic, "ID3", 3) || (magic[0] == 0xFF && (magic[1] & 0xE0) == 0xE0))
-    return mp3_read(path, out, channels, sample_rate, frames);
-  return -30;  // unknown container
+    rc = wav_read(path, out, channels, sample_rate, frames);
+  else if (!memcmp(magic, "fLaC", 4))
+    rc = flac_read(path, out, channels, sample_rate, frames);
+  else if (!memcmp(magic, "OggS", 4))
+    rc = ogg_read(path, out, channels, sample_rate, frames);
+  else if (!memcmp(magic, "ID3", 3) ||
+           (magic[0] == 0xFF && (magic[1] & 0xE0) == 0xE0))
+    rc = mp3_read(path, out, channels, sample_rate, frames);
+  if (rc == 0) return 0;
+  // Unknown container (AAC/M4A/MP4, WMA, ALAC, ...) or a variant the
+  // built-in decoder rejected (e.g. mu-law/ADPCM WAV): FFmpeg backstop.
+  int ff = ffmpeg_decode(path, out, channels, sample_rate, frames);
+  if (ff == -50) return rc == 1 ? -30 : rc;  // FFmpeg absent
+  return ff;
+}
+
+// Direct FFmpeg entry (exercised by tests even for containers the sniffing
+// dispatch would route to the built-in decoders).
+int ffmpeg_read(const char* path, float** out, int* channels,
+                int* sample_rate, long* frames) {
+  return ffmpeg_decode(path, out, channels, sample_rate, frames);
 }
 
 }  // extern "C"

@@ -62,7 +62,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from csm_tpu.config import CSMConfig
-from csm_tpu.ops.fused_decoder import NEG_INF, _rms_scale, quantize_per_channel
+from csm_tpu.ops.fused_decoder import (
+    NEG_INF, _rms_scale, bf16_round, quantize_per_channel,
+)
 
 # Ring-A chunk columns / ring-B chunk rows (int8; 4.2 MB at 2048).  Finer
 # chunks pipeline better: measured 1B/B=1 ms/step — 4096: 1.355, 2048:
@@ -967,10 +969,8 @@ def emulate_bb_decode_step(
 
     rs_f = _rms_scale(h, eps)
     nh = h * rs_f * qsb["final_norm"][None, :]
-    logits = (
-        (_qdot(h.astype(jnp.bfloat16), qsb["w"]["head"]) * qsb["s"]["head"] * rs_f)
-        .astype(jnp.bfloat16)
-        .astype(jnp.float32)
+    logits = bf16_round(
+        _qdot(h.astype(jnp.bfloat16), qsb["w"]["head"]) * qsb["s"]["head"] * rs_f
     )
     return (
         nh,

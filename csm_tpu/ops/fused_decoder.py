@@ -82,6 +82,23 @@ _KERNEL_MATS = ("wqkv", "wo", "w_gu", "w_down")
 # ---------------------------------------------------------------------------
 
 
+def bf16_round(x: jnp.ndarray) -> jnp.ndarray:
+    """Round f32 values onto the bf16 grid WITHOUT a convert pair.
+
+    The obvious spelling ``x.astype(bf16).astype(f32)`` is NOT safe in
+    XLA-compiled code on this TPU backend: ``--xla_allow_excess_precision``
+    (set terminal-side) lets the compiler elide the narrowing convert pair
+    in one consumer while keeping it in another, so the "same" logits can
+    compare unequal to themselves across uses — observed on hardware as
+    ``first_argmax``'s ``x == max(x)`` matching nowhere and returning its
+    2**30 sentinel for every codebook.  ``lax.reduce_precision`` is
+    semantically a rounding op (identical round-to-nearest-even values)
+    that the simplifier never removes.  Pallas kernel bodies keep the
+    astype spelling — Mosaic compiles converts literally.
+    """
+    return jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+
+
 def quantize_per_channel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-output-channel int8 quantization of ``[..., K, N]``.
 
@@ -689,7 +706,7 @@ def fused_decode_codebooks(
     # bits, so the top-k cutoff is exact only on bf16-rounded logits (the
     # bf16 paths' head emits them rounded already; f32 params get the same
     # documented rounding here).  Idempotent for already-rounded inputs.
-    c0_logits = c0_logits.astype(jnp.bfloat16).astype(jnp.float32)
+    c0_logits = bf16_round(c0_logits)
     c0_logits = jnp.pad(c0_logits, ((0, 0), (0, Va_pad - Va)))
 
     head_scaled = "head_scale" in qdec
@@ -811,7 +828,7 @@ def emulate_decode_codebooks(
     # bits, so the top-k cutoff is exact only on bf16-rounded logits (the
     # bf16 paths' head emits them rounded already; f32 params get the same
     # documented rounding here).  Idempotent for already-rounded inputs.
-    c0_logits = c0_logits.astype(jnp.bfloat16).astype(jnp.float32)
+    c0_logits = bf16_round(c0_logits)
     c0_logits = jnp.pad(c0_logits, ((0, 0), (0, Va_pad - Va)))
     vcol = jnp.arange(Va_pad)[None, :]
 
@@ -885,7 +902,7 @@ def emulate_decode_codebooks(
         )
         if head_scaled:
             logits = logits * qdec["head_scale"][i - 1]
-        logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
+        logits = bf16_round(logits)
         logits = jnp.where(vcol < Va, logits, NEG_INF)
         all_logits.append(logits[0])
         ci = _sample_row(logits, gumbel[i], temp_v, topk_v, greedy)

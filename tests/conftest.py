@@ -22,3 +22,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running tests (interpret-mode Pallas kernels, "
+        "multi-process simulations, full-published-shape conversions); "
+        "deselect with `-m 'not slow'` for the fast core",
+    )

@@ -470,3 +470,89 @@ def test_ogg_vorbis_decode(tmp_path):
     spec = np.abs(np.fft.rfft(wave[0] * np.hanning(wave.shape[1])))
     peak_hz = np.argmax(spec) * got_rate / wave.shape[1]
     assert abs(peak_hz - freq) < 5.0
+
+
+# ---------------------------------------------------------------------------
+# FFmpeg breadth backstop (AAC/M4A and every other container — the
+# reference's torchaudio reads essentially anything, train.py:117-126)
+# ---------------------------------------------------------------------------
+
+
+def _ffmpeg_present():
+    import ctypes
+    try:
+        ctypes.CDLL("libavformat.so.59")
+        return True
+    except OSError:
+        try:
+            ctypes.CDLL("libavformat.so")
+            return True
+        except OSError:
+            return False
+
+
+def test_ffmpeg_path_decodes_wav_bit_exact(tmp_path):
+    """The FFmpeg decode path (the one AAC/M4A files ride) reproduces
+    wav_read bit-exactly on a PCM file — validating the whole dlopen'd
+    demux→decode→interleave pipeline end to end."""
+    if not _ffmpeg_present():
+        pytest.skip("system FFmpeg libraries not present")
+    from csm_tpu.data.audio_io import save_wav
+
+    sr = 24000
+    t = np.arange(sr // 2) / sr
+    w = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = str(tmp_path / "tone.wav")
+    save_wav(path, w, sr)
+    ref, r1 = native.wav_read(path)
+    got, r2 = native.ffmpeg_read(path)
+    assert (r1, ref.shape) == (r2, got.shape)
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_audio_read_falls_back_to_ffmpeg_for_mulaw_wav(tmp_path):
+    """A G.711 mu-law WAV (format tag 7) — a container the built-in PCM
+    decoder rejects — decodes through the FFmpeg fallback with high
+    fidelity.  This exercises exactly the path an AAC/M4A file takes."""
+    if not _ffmpeg_present():
+        pytest.skip("system FFmpeg libraries not present")
+    import struct
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    x = 0.5 * np.sin(2 * np.pi * 220 * t)
+
+    def lin2mulaw(x16):  # standard G.711 encoder
+        BIAS, CLIP = 0x84, 32635
+        s = ((x16 >> 8) & 0x80).astype(np.int32)
+        a = np.abs(x16.astype(np.int32)).clip(max=CLIP) + BIAS
+        exp = (np.floor(np.log2(a)) - 7).astype(np.int32)
+        mant = (a >> (exp + 3)) & 0x0F
+        return (~(s | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+    data = lin2mulaw((x * 32767).astype(np.int16)).tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 7, 1, sr, sr, 1, 8)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    path = str(tmp_path / "mulaw.wav")
+    with open(path, "wb") as f:
+        f.write(hdr + data)
+
+    with pytest.raises(IOError):
+        native.wav_read(path)  # built-in decoder: PCM/float only
+    w, r = native.audio_read(path)
+    assert r == sr and w.shape == (1, sr)
+    # 8-bit log companding: ~38 dB SNR; near-perfect correlation.
+    assert np.corrcoef(w[0], x)[0, 1] > 0.995
+
+
+def test_audio_read_unknown_container_names_support_matrix(tmp_path):
+    """A garbage file fails with a documented error (either the FFmpeg
+    decode failure or — without FFmpeg — the support-matrix message)."""
+    path = str(tmp_path / "junk.bin")
+    with open(path, "wb") as f:
+        f.write(b"\x01\x02\x03\x04junk" * 64)
+    with pytest.raises(IOError, match="FFmpeg|supported natively"):
+        native.audio_read(path)
