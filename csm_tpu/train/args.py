@@ -70,6 +70,10 @@ class TrainingArguments:
     # "nothing" = minimum memory (full per-layer recompute); "dots" keeps
     # matmul outputs (~65 MB/layer/item at S=2048) and skips recomputing
     # the projections.
+    report_to: str = "none"  # metrics reporting: "none" or "tensorboard"
+    # (event files under <output_dir>/runs with the reference's tag scheme —
+    # train/loss, train/backbone_loss, train/decoder_loss, eval/loss;
+    # /root/reference/train.py:316-324 gets the same via HF Trainer.log)
     dataloader_prefetch: int = 2  # background-prefetched global batches:
     # a daemon thread runs the dataset's audio decode + Mimi encode +
     # collation + host→device transfer for batch i+k while the device runs

@@ -494,30 +494,42 @@ class CSMTrainer:
                     mb_sharding_seq if s_len % self._seq == 0 else mb_sharding,
                 )
 
-        with self.mesh:
-            for step, batch in enumerate(
-                self._prefetched(device_batches()), start=start_step + 1
-            ):
-                self.state, metrics = self._step_fn(self.state, self.base_params, batch)
-                if args.logging_steps and step % args.logging_steps == 0:
-                    last = {k: float(v) for k, v in metrics.items()}
-                    last["step"] = step
-                    last["time"] = time.time() - t0
-                    self._metrics_log.append(last)
-                    logger.info(
-                        "step %d | loss %.4f | train/backbone_loss %.4f | "
-                        "train/decoder_loss %.4f",
-                        step, last["loss"], last["backbone_loss"],
-                        last["decoder_loss"],
-                    )
-                if self.save_steps and step % self.save_steps == 0:
-                    self.save_checkpoint(step)
-                if (
-                    self.eval_steps
-                    and self.eval_dataset is not None
-                    and step % self.eval_steps == 0
+        from csm_tpu.train.reporting import make_reporter
+
+        reporter = make_reporter(
+            getattr(args, "report_to", "none"), f"{args.output_dir}/runs"
+        )
+        try:
+            with self.mesh:
+                for step, batch in enumerate(
+                    self._prefetched(device_batches()), start=start_step + 1
                 ):
-                    last["eval_loss"] = self.evaluate()
+                    self.state, metrics = self._step_fn(
+                        self.state, self.base_params, batch
+                    )
+                    if args.logging_steps and step % args.logging_steps == 0:
+                        last = {k: float(v) for k, v in metrics.items()}
+                        last["step"] = step
+                        last["time"] = time.time() - t0
+                        self._metrics_log.append(last)
+                        reporter.log(step, last)
+                        logger.info(
+                            "step %d | loss %.4f | train/backbone_loss %.4f | "
+                            "train/decoder_loss %.4f",
+                            step, last["loss"], last["backbone_loss"],
+                            last["decoder_loss"],
+                        )
+                    if self.save_steps and step % self.save_steps == 0:
+                        self.save_checkpoint(step)
+                    if (
+                        self.eval_steps
+                        and self.eval_dataset is not None
+                        and step % self.eval_steps == 0
+                    ):
+                        last["eval_loss"] = self.evaluate()
+                        reporter.log(step, {"eval_loss": last["eval_loss"]})
+        finally:
+            reporter.close()
         return last
 
     def evaluate(self) -> float:

@@ -399,3 +399,32 @@ def test_prefetch_preserves_training_determinism(trainer_setup, tmp_path):
         trainer.args.dataloader_prefetch = depth
         losses[depth] = trainer.train()["loss"]
     assert losses[0] == pytest.approx(losses[2], rel=1e-6)
+
+
+def test_report_to_tensorboard_writes_two_loss_split(trainer_setup, tmp_path):
+    """report_to="tensorboard" produces an events file carrying the
+    reference's tag scheme (train/loss + the backbone/decoder split)."""
+    pytest.importorskip("tensorboard")
+    cfg, params, TrainingArguments, CSMTrainer, make_mesh = trainer_setup
+    trainer = _make_trainer(cfg, params, TrainingArguments, CSMTrainer,
+                            make_mesh, tmp_path, data=2, model=1)
+    trainer.args.report_to = "tensorboard"
+    trainer.train()
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    runs = tmp_path / "runs"
+    acc = EventAccumulator(str(runs))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"train/loss", "train/backbone_loss", "train/decoder_loss"} <= tags
+    assert len(acc.Scalars("train/loss")) == trainer.total_steps
+
+
+def test_report_to_unknown_raises(trainer_setup, tmp_path):
+    from csm_tpu.train.reporting import make_reporter
+
+    with pytest.raises(ValueError, match="report_to"):
+        make_reporter("wandb", str(tmp_path))
