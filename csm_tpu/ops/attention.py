@@ -23,8 +23,12 @@ def set_attention_impl(impl: str) -> None:
     _impl = impl
 
 
-def pick_block(n: int, cap: int = 256) -> int:
-    """Largest power-of-two divisor of ``n``, capped."""
+def pick_block(n: int, cap: int = None) -> int:
+    """Largest power-of-two divisor of ``n``, capped (default 256;
+    ``CSM_FLASH_BLOCK`` overrides the cap for perf experiments — read at
+    trace time, so set it before the first compile in a process)."""
+    if cap is None:
+        cap = int(os.environ.get("CSM_FLASH_BLOCK", 256))
     b = 1
     while b < cap and n % (b * 2) == 0:
         b *= 2
