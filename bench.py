@@ -233,10 +233,7 @@ def main():
     # weight stream / latency-bound serial matvecs — near-free aggregate
     # scaling).  Default emits batch-8 AND batch-16; --batch overrides.
     if not args.skip_batch and args.batch > 1:
-        from csm_tpu.ops.fused_decoder import (
-            MAX_VALIDATED_B as _fd_single_b,
-            MAX_VALIDATED_B_1SLOT as _fd_single_b_h8,
-        )
+        from csm_tpu.ops.fused_decoder import MAX_VALIDATED_B as _fd_single_b
 
         qdec_h8 = None
         batches = (8, 16) if args.batch == 8 else (args.batch,)
@@ -244,10 +241,12 @@ def main():
             print(f"batch-{batch} aggregate...", file=sys.stderr)
             q = qdec
             head_bits = 16
-            if qdec is not None and _fd_single_b < batch <= _fd_single_b_h8:
-                # int8 audio_head: one fused-decoder program serves all 16
-                # rows instead of two sequential B=8 chunks (the head adds
-                # its own small quantization to the opt-in qdec numerics).
+            if qdec is not None and batch > _fd_single_b:
+                # int8 audio_head for the chunked batches: halves each
+                # chunk's per-step head-slice DMA (the head adds its own
+                # small quantization to the opt-in qdec numerics).  A
+                # single B=16 program exceeds this backend's scoped-VMEM
+                # limit, so 16 rows run as two sequential 8-row chunks.
                 if qdec_h8 is None:
                     from csm_tpu.ops.fused_decoder import prepare_fused_decoder
 
@@ -267,7 +266,7 @@ def main():
                 # Single-program B=16 (int8 head) failed on this chip —
                 # fall back to the validated chunked bf16-head path so the
                 # aggregate line still lands.
-                print(f"int8-head single program failed ({type(e).__name__}); "
+                print(f"int8-head chunked path failed ({type(e).__name__}); "
                       "falling back to chunked bf16-head", file=sys.stderr)
                 q, head_bits = qdec, 16
                 total, med, spread = timed(

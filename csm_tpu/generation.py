@@ -109,8 +109,8 @@ def decode_frame(
     ``qdec``: a bundle from
     :func:`csm_tpu.ops.fused_decoder.prepare_fused_decoder` switches the
     whole loop to the VMEM-resident int8 Pallas kernel (one program up to
-    MAX_VALIDATED_B rows — MAX_VALIDATED_B_1SLOT with the int8 head —
-    then sequential chunks, dispatched up to MAX_CHUNKED_B; ~3×
+    MAX_VALIDATED_B rows, then sequential chunks, dispatched up to
+    MAX_CHUNKED_B; ~3×
     faster on a v5e chip, quantized numerics — see that module's docs).
     """
     B = last_h.shape[0]

@@ -123,9 +123,9 @@ class CSMModel:
         roughly halves the backbone decode step again at a further (small)
         weight-precision cost; the fused decoder and the c0 head stay
         int8.  ``head_bits=8`` also quantizes the fused decoder's per-step
-        ``audio_head`` slices to int8, which lets a single fused-decoder
-        program serve 16 streams (``fused_decoder.MAX_VALIDATED_B_1SLOT``)
-        instead of chunking at 8.  Single-chip TPU paths: call only when
+        ``audio_head`` slices to int8, halving each chunk's head-slice DMA
+        traffic (batches past 8 rows chunk either way — a single B=16
+        program exceeds this backend's scoped-VMEM limit).  Single-chip TPU paths: call only when
         the default backend is a TPU and generation runs un-meshed.
         Returns ``self`` for chaining."""
         from csm_tpu.ops.bb_kernel import prepare_streamed_backbone

@@ -14,7 +14,11 @@ v5e's 819 GB/s.  This kernel loads the decoder ONCE per frame:
   accumulation, per-output-channel rescale — no dequantized weight copy is
   ever materialized and no activation quantization error is introduced;
 - per-step ``audio_head`` slices (4.2 MB bf16) are double-buffered from HBM
-  by async DMA, overlapped with the decoder forward;
+  by async DMA, overlapped with the decoder forward (the int8 head's f32
+  rescale rows stream alongside their slices);
+- the in-frame KV scratch stores bf16 (matching the XLA path's bf16 KV
+  cache) with 32 rows exactly, and the attention dots run bf16×bf16 with
+  f32 accumulation;
 - sampled-token embeddings are fetched by data-dependent DMA from a
   **pre-projected** embedding table (``audio_embeddings @ projection``,
   computed once at prepare time), so the per-step projection matmul
@@ -53,22 +57,23 @@ from csm_tpu.ops.rope import compute_rope_table
 
 NEG_INF = -1e9
 
-# Largest batch the kernel is hardware-validated for with the default
-# double-buffered bf16 head slices
-# (scripts/check_fused_hw.py + KERNEL_CHECKS.json).  A single bf16-head
-# B=16 program does NOT fit: the resident int8 weights (~111 MB) plus the
-# 8.9 MB double head buffer and B-scaled scratch exceed the 127 MiB
-# scoped-VMEM cap.  Past MAX_VALIDATED_B the kernel switches to a
-# SINGLE-buffered head (start-after-consume; the ~5 µs slice DMA hides
-# under the following decoder pass, so nothing is exposed) and — with the
-# opt-in int8 head (``prepare_fused_decoder(head_bits=8)``) — a single
-# program fits up to MAX_VALIDATED_B_1SLOT rows.  Beyond that,
-# decode_frame_fused splits into sequential capped chunks — exact per-row
-# numerics, one extra weight reload (~0.13 ms) + serial 31-step latency
-# per chunk.  Chunking beats the XLA loop's flat ~8.5 ms weight-bound
-# floor up to MAX_CHUNKED_B.
+# Largest batch a SINGLE kernel program serves
+# (scripts/check_fused_hw.py + KERNEL_CHECKS.json pin it on hardware).  A
+# B=16 program does NOT fit this backend's scoped-VMEM limit (118.7 MiB):
+# the resident int8 weights (~111 MB) plus head buffer and B-scaled
+# scratch measured 121.5 MB with the bf16 head and still ~119.5 MB after
+# the round-4 shaves (int8 single-slot head, bf16 32-row KV scratch,
+# streamed head-rescale rows, bf16 attention operands) — so B > 8 always
+# goes through decode_frame_fused's sequential capped chunks: exact
+# per-row numerics, one extra weight reload (~0.13 ms) + serial 31-step
+# latency per chunk.  Chunking beats the XLA loop's flat ~8.5 ms
+# weight-bound floor up to MAX_CHUNKED_B.  The int8 head (head_bits=8)
+# still halves each chunk's head-slice DMA traffic and VMEM buffer.
+# (Historical note: round 3 pinned a B=16 single program in emulator mode
+# as MAX_VALIDATED_B_1SLOT=16; hardware measurement this round showed it
+# cannot compile on this backend, so the cap is 8 for both head widths.)
 MAX_VALIDATED_B = 8
-MAX_VALIDATED_B_1SLOT = 16  # requires the int8 head (head_bits=8)
+MAX_VALIDATED_B_1SLOT = 8  # int8 head: same single-program cap (see above)
 MAX_CHUNKED_B = 4 * MAX_VALIDATED_B
 
 _MATS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -125,9 +130,8 @@ def prepare_fused_decoder(
     the per-step ``audio_head``
     slices to int8 (symmetric per-output-channel, W8A16 dot + f32 rescale
     in-kernel): the head's VMEM buffer and its ~138 MB/frame of slice DMA
-    traffic both halve, which is what lets a single B=16 program fit under
-    the VMEM cap (``MAX_VALIDATED_B_1SLOT``).  The default keeps the bf16
-    head — bit-identical logits to the XLA quantized path's head matmul.
+    traffic both halve.  The default keeps the bf16 head — bit-identical
+    logits to the XLA quantized path's head matmul.
     """
     if head_bits not in (8, 16):
         raise ValueError(f"head_bits must be 8 or 16, got {head_bits}")
@@ -310,6 +314,9 @@ def _attend_merged(
     bmask = (row_block == col_block).astype(jnp.float32)  # [R, C]
 
     qz = q.reshape(R, 1, hd) * bmask[:, :, None]  # [R, C, hd]
+    # (A bf16 qz build was tried for scoped-VMEM headroom and measured
+    # WORSE — Mosaic's bf16 broadcast/relayout materialization cost ~2 MB
+    # more stack than the f32 form it replaced.  Keep f32, cast at the dot.)
 
     scores = jax.lax.dot_general(
         qz.reshape(R, C * hd).astype(jnp.bfloat16),
@@ -511,7 +518,7 @@ def _make_kernel(
         samples_ref,  # out VMEM (B, N) int32
         head_buf,  # scratch VMEM (head_slots, Dd, Va_pad) head_dtype
         emb_buf,  # scratch VMEM (B, sub, lanes) emb dtype
-        kv_k, kv_v,  # scratch VMEM (L, P, B*nkv*hd) bf16 — merged layout
+        kv_k, kv_v,  # scratch VMEM (L, N, B*nkv*hd) bf16 — merged layout
         gum_buf,  # scratch VMEM (2, B, Va_pad) f32 — double-buffered noise
         hs_buf,  # scratch VMEM (head_slots, 1, Va_pad) f32 — streamed rescale
         head_sem,  # DMA sem (head_slots,)
@@ -711,8 +718,8 @@ def fused_decode_codebooks(
 
     head_scaled = "head_scale" in qdec
     # Past the double-buffer-validated batch the head buffer drops to one
-    # slot (start-after-consume; see MAX_VALIDATED_B_1SLOT above) to keep
-    # the B=16 program under the VMEM cap.
+    # slot (start-after-consume) — kept for oversized direct callers; the
+    # shipped paths chunk at MAX_VALIDATED_B so this stays 2.
     head_slots = 2 if B <= MAX_VALIDATED_B else 1
     kernel = _make_kernel(
         config, greedy, head_dtype, B, head_slots, head_scaled
@@ -761,8 +768,13 @@ def fused_decode_codebooks(
         scratch_shapes=[
             pltpu.VMEM((head_slots, Dd, Va_pad), head_dtype),
             pltpu.VMEM((B, sub, lanes), qdec["proj_emb"].dtype),
-            pltpu.VMEM((L, P, B * nkv * hd), jnp.bfloat16),
-            pltpu.VMEM((L, P, B * nkv * hd), jnp.bfloat16),
+            # KV scratch rows = N (32): positions 0..31 are the only ones
+            # ever written (the final codebook is classify-only, no trailing
+            # decoder step), rows past the write index are causally masked,
+            # and 32 rows are sublane-exact where 33 would pad to 40 —
+            # 512 KB of scoped VMEM back at B=16.
+            pltpu.VMEM((L, N, B * nkv * hd), jnp.bfloat16),
+            pltpu.VMEM((L, N, B * nkv * hd), jnp.bfloat16),
             pltpu.VMEM((2, B, Va_pad), jnp.float32),
             pltpu.VMEM((head_slots, 1, Va_pad), jnp.float32),
             pltpu.SemaphoreType.DMA((head_slots,)),
@@ -993,10 +1005,9 @@ def decode_frame_fused(
     x0 = last_h @ params["projection"]  # [B, Dd]
     x0 = x0.astype(jnp.float32)
     c0lg = c0_logits.astype(jnp.float32)
-    # Single-program cap: 8 with the default bf16 head; 16 with the int8
-    # head (head_bits=8), whose halved head buffer + single-slot schedule
-    # keep a B=16 program under the VMEM cap (hardware-validated by
-    # scripts/check_fused_hw.py).
+    # Single-program cap (see the constants block: B=16 single programs
+    # exceed this backend's scoped-VMEM limit for either head width, so
+    # both head tiers chunk at 8).
     cap = MAX_VALIDATED_B_1SLOT if "head_scale" in qdec else MAX_VALIDATED_B
     if B <= cap:
         return fused_decode_codebooks(

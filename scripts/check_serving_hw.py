@@ -35,8 +35,9 @@ def main():
     params = jax.jit(lambda k: csm.init_params(k, config, jnp.bfloat16))(
         jax.random.key(0)
     )
-    # Past 8 slots the int8 head lets the fused decoder serve every slot in
-    # ONE program (fused_decoder.MAX_VALIDATED_B_1SLOT) instead of chunking.
+    # Past 8 slots the fused decoder chunks (a single B=16 program exceeds
+    # the backend's scoped-VMEM limit); the int8 head halves each chunk's
+    # per-step head-slice DMA.
     head_bits = 8 if n_slots > 8 else 16
     qdec = jax.jit(
         lambda p: prepare_fused_decoder(p, config, head_bits=head_bits)

@@ -367,7 +367,7 @@ def test_int8_head_raises_single_program_cap(setup):
     their solo runs either way."""
     config, params, *_ = setup
     qdec8 = fd.prepare_fused_decoder(params, config, head_bits=8)
-    B = fd.MAX_VALIDATED_B_1SLOT + 2  # 16-row chunk + 2-row remainder
+    B = fd.MAX_VALIDATED_B_1SLOT + 2  # one full chunk + 2-row remainder
     last_h = jax.random.normal(
         jax.random.key(51), (B, config.backbone.hidden_size), jnp.float32
     )
