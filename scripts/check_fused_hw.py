@@ -52,8 +52,19 @@ def explain_divergence(kern, emu, emu_lg, gumbel, temp, topk, greedy):
             sc = lg[: gumbel.shape[1]] / max(temp, 1e-6) + gumbel[i]
             gap = float(sc[b] - sc[a])
         live = np.sort(lg[lg > -1e8])
-        kth = live[-min(topk, live.size)]
-        near = abs(gap) < TOL or abs(float(lg[a] - kth)) < TOL
+        kth = float(live[-min(topk, live.size)])
+        # Boundary-flip tolerance: a 1-ulp (bf16) shift of the k-th
+        # threshold includes/excludes whole tie buckets at the boundary
+        # VALUE, and the flipped token's noise then makes the score gap
+        # arbitrary — so the gate is "either pick sat within ~2 bf16 ulps
+        # of the k-th value".  bf16 ulp = f32 spacing × 2^16; at |kth| ≈ 8
+        # one ulp is 0.0625, larger than the old fixed 0.05.
+        tol_b = max(TOL, 2.0 * float(np.spacing(np.float32(abs(kth)))) * 2**16)
+        near = (
+            abs(gap) < TOL
+            or abs(float(lg[a]) - kth) < tol_b
+            or abs(float(lg[b]) - kth) < tol_b
+        )
         return i, near, gap
     return N, True, 0.0
 

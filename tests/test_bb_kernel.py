@@ -21,6 +21,10 @@ from csm_tpu.models.llama import KVCache
 from csm_tpu.ops import bb_kernel as bk
 
 
+# Hardware checks pin these paths on the real chip each round; the
+# CPU oracle here is thorough but slow (interpret-mode Pallas oracle).
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = CSMConfig.tiny()

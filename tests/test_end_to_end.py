@@ -20,6 +20,10 @@ from tests.test_codec_parity import make_mimi_pair
 from tests.test_processor import StubTokenizer
 
 
+# Hardware checks pin these paths on the real chip each round; the
+# CPU oracle here is thorough but slow (full README recipe at tiny scale).
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def recipe():
     """Tiny 32-quantizer Mimi (the processor's frame width is the

@@ -258,6 +258,7 @@ def test_flash_vjp_noncausal_full_window():
         )
 
 
+@pytest.mark.slow
 def test_remat_grads_match_no_remat():
     """jax.checkpoint over the layer scan changes memory, not math: the
     train-path gradients with remat on equal the un-remat'ed gradients."""

@@ -103,6 +103,7 @@ def test_loss_no_valid_decoder_frames(tiny_pair):
     )
 
 
+@pytest.mark.slow
 def test_static_decoder_frame_cap_matches_exact(tiny_pair):
     """With max_decoder_frames >= true count, the capped static selection is
     identical to the default (exact) path."""

@@ -21,6 +21,10 @@ from csm_tpu.ops import fused_decoder as fd
 from csm_tpu.ops.sampling import sample_topk
 
 
+# Hardware checks pin these paths on the real chip each round; the
+# CPU oracle here is thorough but slow (interpret-mode Pallas oracle).
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def setup():
     config = CSMConfig.tiny()

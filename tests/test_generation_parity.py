@@ -94,6 +94,7 @@ def test_generate_greedy_parity(tiny_pair, batch, seq, frames):
     np.testing.assert_array_equal(j_frames, t_frames)
 
 
+@pytest.mark.slow
 def test_cached_matches_uncached(tiny_pair):
     """KV-cached incremental decode must equal full recompute frame-by-frame."""
     cfg, _, params = tiny_pair

@@ -67,6 +67,7 @@ def test_lora_merge_matches_on_the_fly(base):
     )
 
 
+@pytest.mark.slow
 def test_lora_training_descends_and_freezes_base(base, tmp_path):
     """CSMTrainer(lora_rank=4): loss descends, ONLY adapters change, and
     save_model exports a merged checkpoint + adapters."""

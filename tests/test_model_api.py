@@ -116,6 +116,7 @@ def test_forward_label_free_hits_jit_cache():
     assert model._fwd_nolabels._cache_size() == 1
 
 
+@pytest.mark.slow
 def test_quantized_generate_surface():
     """model.quantize() enables the int8 fast paths through the class API
     (interpret mode on CPU): generation runs, stays deterministic, and

@@ -9,7 +9,14 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# Hardware checks pin these paths on the real chip each round; the
+# CPU oracle here is thorough but slow (two-process jax.distributed simulation).
+pytestmark = pytest.mark.slow
 
 
 def test_two_process_cpu_simulation():

@@ -47,6 +47,7 @@ def _generate(params, cfg, data, mesh=None):
     return np.asarray(frames)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("shape", [(1, 2), (2, 2), (4, 1)])
 def test_sharded_generation_matches_unsharded(setup, shape):
     """Greedy tokens are identical under TP / DP×TP / DP meshes."""

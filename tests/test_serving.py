@@ -19,6 +19,7 @@ def model():
     return cfg, params
 
 
+@pytest.mark.slow
 def test_streamer_matches_compiled_path(model):
     import jax
 
@@ -134,6 +135,7 @@ def _solo(params, cfg, ids, mask, key, budget, greedy):
     return np.asarray(frames)[0, : int(np.asarray(n)[0])]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("greedy", [True, False])
 def test_continuous_batching_matches_solo(greedy):
     """Stream B joins mid-flight of stream A; both match their solo runs
@@ -167,6 +169,7 @@ def test_continuous_batching_matches_solo(greedy):
     np.testing.assert_array_equal(server.results[rid_b], solo_b)
 
 
+@pytest.mark.slow
 def test_continuous_batching_queues_when_full():
     """More requests than slots: the overflow request waits, is admitted
     into the freed slot, and still matches its solo output."""
@@ -192,6 +195,7 @@ def test_continuous_batching_queues_when_full():
         np.testing.assert_array_equal(server.results[rid], solo)
 
 
+@pytest.mark.slow
 def test_per_request_sampling_params():
     """Per-request temperature / topk / greedy (dynamic per-row vectors):
     three concurrent requests with DIFFERENT parameters each match the solo
@@ -240,6 +244,7 @@ def test_per_request_sampling_params():
         np.testing.assert_array_equal(server.results[rid], solo)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("greedy", [True, False])
 def test_prefix_caching_matches_full_prompt(greedy):
     """register_prefix + submit(prefix_id=): the continuation prefills
@@ -301,6 +306,7 @@ def test_prefix_caching_matches_full_prompt(greedy):
     server.drop_prefix(pid)
 
 
+@pytest.mark.slow
 def test_streamer_prefix_matches_full_prompt(model):
     """CSMStreamer.register_prefix + start(prefix_id=): the session's
     frames equal a full-prompt session with the same key."""
@@ -333,6 +339,7 @@ def test_streamer_prefix_matches_full_prompt(model):
     s1.drop_prefix(pid)
 
 
+@pytest.mark.slow
 def test_greedy_server_ignores_per_request_overrides():
     """A server built with greedy=True is deterministic for every request;
     per-request sampling overrides are documented as ignored — outputs
@@ -355,6 +362,7 @@ def test_greedy_server_ignores_per_request_overrides():
     np.testing.assert_array_equal(server.results[rid], solo)
 
 
+@pytest.mark.slow
 def test_server_streaming_audio_matches_offline_decode():
     """CSMServer(codec=...): every slot's chunked PCM equals the offline
     decode of its result frames — including a request admitted into a
@@ -450,6 +458,7 @@ def test_prefix_error_paths():
     assert len(server.results[r_busy]) > 0
 
 
+@pytest.mark.slow
 def test_cancel_frees_slot_without_disturbing_others():
     """cancel(): a queued request is dropped, a running one frees its slot
     (admitting the queue), and surviving streams still match their solo
@@ -499,6 +508,7 @@ def test_cancel_frees_slot_without_disturbing_others():
     assert len(server2.results[r2]) == 0 and len(server2.results[r1]) > 0
 
 
+@pytest.mark.slow
 def test_step_many_chunked_matches_single_steps():
     """run_until_idle(chunk=4) (device-side multi-step scan) produces the
     same results as per-frame stepping, including mid-flight admission at
@@ -529,6 +539,7 @@ def test_step_many_chunked_matches_single_steps():
         np.testing.assert_array_equal(a[rid], b[rid])
 
 
+@pytest.mark.slow
 def test_streamer_quantized_path(model):
     """CSMStreamer accepts the same qdec/qbb/qsb fast paths as CSMServer
     (VERDICT r2 weak #3): the per-frame steps run through the streamed
@@ -563,6 +574,7 @@ def test_streamer_quantized_path(model):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_server_with_streamed_backbone_kernel():
     """CSMServer(qsb=...) routes decode steps through the streamed-weight
     backbone kernel (interpret mode on CPU): all requests complete, frames

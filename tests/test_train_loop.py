@@ -68,6 +68,7 @@ def _make_trainer(cfg, params, TrainingArguments, CSMTrainer, make_mesh, tmpdir,
     return CSMTrainer(cfg, params, args, ds, data_collator=coll, mesh=mesh)
 
 
+@pytest.mark.slow
 def test_loss_decreases_dp_tp(trainer_setup, tmp_path):
     """Loss descends under a 4×2 DP×TP mesh; both loss components logged."""
     cfg, params, TA, CT, mm = trainer_setup
@@ -92,6 +93,7 @@ def test_dp_only_mesh_matches_semantics(trainer_setup, tmp_path):
     assert np.isfinite(last["loss"])
 
 
+@pytest.mark.slow
 def test_sequence_parallel_matches_dp(trainer_setup, tmp_path):
     """A DP×SP×TP (2×2×2) mesh trains the same losses as a plain DP mesh:
     sequence parallelism shards the frame axis of every microbatch and must
@@ -137,6 +139,7 @@ def test_epoch_to_steps_rescheduling(trainer_setup, tmp_path):
     assert trainer.save_steps == 1
 
 
+@pytest.mark.slow
 def test_checkpoint_save_and_resume(trainer_setup, tmp_path):
     cfg, params, TA, CT, mm = trainer_setup
     trainer = _make_trainer(cfg, params, TA, CT, mm, tmp_path, data=2, model=1,
@@ -156,6 +159,7 @@ def test_checkpoint_save_and_resume(trainer_setup, tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(trainer_setup, tmp_path):
     """resume_from_checkpoint restores state and fast-forwards the stream."""
     import jax
@@ -200,6 +204,7 @@ class CountingDataset(SyntheticDataset):
         return super().__getitem__(idx)
 
 
+@pytest.mark.slow
 def test_partial_accumulation_window_trained(trainer_setup, tmp_path):
     """A trailing partial window is topped up and trained — every sample
     contributes (HF no-drop-last semantics; round-1 dropped up to
@@ -219,6 +224,7 @@ def test_partial_accumulation_window_trained(trainer_setup, tmp_path):
     assert sorted(set(ds.loaded)) == [0, 1, 2, 3, 4]  # item 4 not dropped
 
 
+@pytest.mark.slow
 def test_resume_fast_forward_by_index(trainer_setup, tmp_path):
     """Resume skips data by index math: items of completed steps are never
     loaded (no replayed audio decode / Mimi encode)."""
@@ -272,6 +278,7 @@ def test_evaluate_partial_batch_counts_all_items(trainer_setup, tmp_path):
     assert abs(loss - loss2) > 1e-9
 
 
+@pytest.mark.slow
 def test_evaluate_token_weighted(trainer_setup, tmp_path):
     """eval_loss is token-weighted (Σ nll / Σ targets per loss component),
     equal to the hand-computed aggregate over per-item forwards — not an
@@ -382,6 +389,7 @@ def test_prefetch_overlaps_slow_getitem(trainer_setup, tmp_path):
     assert [b["i"] for b in trainer._prefetched(slow_batches())] == seen
 
 
+@pytest.mark.slow
 def test_prefetch_preserves_training_determinism(trainer_setup, tmp_path):
     """Prefetched and synchronous runs produce identical losses (ordering
     and amortization draws are untouched by the background thread)."""
@@ -401,6 +409,7 @@ def test_prefetch_preserves_training_determinism(trainer_setup, tmp_path):
     assert losses[0] == pytest.approx(losses[2], rel=1e-6)
 
 
+@pytest.mark.slow
 def test_report_to_tensorboard_writes_two_loss_split(trainer_setup, tmp_path):
     """report_to="tensorboard" produces an events file carrying the
     reference's tag scheme (train/loss + the backbone/decoder split)."""
