@@ -79,7 +79,10 @@ def main():
         batch.pop("labels", None)
 
     if args.fwd_only or args.no_c0_loss:
-        # Time the (remat-free) forward as jitted directly.
+        # Time the (remat-free) forward as jitted directly.  The synthetic
+        # batch carries a leading accum dim — drop it for the raw forward.
+        batch = {k: v[0] for k, v in batch.items()}
+
         @jax.jit
         def run(p, b):
             out = csm.forward(

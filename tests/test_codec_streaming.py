@@ -47,6 +47,7 @@ def test_streaming_reset(mimi_pair):
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_streaming_batch(mimi_pair):
     """Batched streaming: per-stream outputs equal their solo decodes."""
     import jax.numpy as jnp
@@ -102,6 +103,7 @@ def test_streaming_encode_chunk_alignment_error(mimi_pair):
         enc.feed(np.zeros((1, 1, cfg.frame_size + 3), np.float32))
 
 
+@pytest.mark.slow
 def test_streaming_rope_rebase_long_stream(mimi_pair):
     """Past _ROPE_TABLE_POS transformer steps the state is rebased (cached
     keys rotated by a constant phase); outputs must be unchanged — the

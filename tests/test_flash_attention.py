@@ -86,6 +86,7 @@ def test_flash_fully_masked_rows_finite_uniform():
     )
 
 
+@pytest.mark.slow
 def test_end_to_end_forward_flash_vs_xla():
     """Full backbone forward: flash path output equals the XLA path."""
     import jax
@@ -294,6 +295,7 @@ def test_remat_grads_match_no_remat():
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_training_grad_path_skips_flash():
     """use_flash=False remains a working escape hatch: gradients flow on the
     XLA path even with the flash impl forced (this guarded a real crash in

@@ -84,6 +84,7 @@ def test_loss_decreases_dp_tp(trainer_setup, tmp_path):
     assert np.isfinite(final["grad_norm"])
 
 
+@pytest.mark.slow
 def test_dp_only_mesh_matches_semantics(trainer_setup, tmp_path):
     """DP-only (8×1) runs and produces finite losses on the same data."""
     cfg, params, TA, CT, mm = trainer_setup
