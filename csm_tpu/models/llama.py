@@ -32,6 +32,7 @@ from functools import partial
 from typing import Optional, Tuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import struct
 
@@ -223,6 +224,9 @@ def _layer(
                 causal=True,
                 block_q=pick_block(S), block_k=pick_block(kk.shape[1]),
             )
+            # Named for the "dots" remat policy: saving this output keeps
+            # the backward from re-running the flash forward per layer.
+            out = jax.ad_checkpoint.checkpoint_name(out, "flash_attn_out")
             return out.reshape(B, S, nq * hd)
         return _attention(q, kk.astype(q.dtype), vv.astype(q.dtype), bias)
 
@@ -333,8 +337,18 @@ def forward(
             return h, None
 
         if remat:
+            # "dots" additionally saves the flash-attention OUTPUT by name:
+            # a pallas_call is not a dot_general, so dots_saveable alone
+            # would re-run the whole flash forward per layer inside the
+            # backward recompute (~8.4 MB bf16 saved per layer at S=2048
+            # buys back that re-run).
             policy = (
-                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "flash_attn_out"
+                    ),
+                )
                 if remat_policy == "dots" else None
             )
             # prevent_cse is safe (and needed for efficiency) inside scan.
