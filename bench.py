@@ -163,6 +163,8 @@ def main():
             _qsb4_memo.append(q4)
         return _qsb4_memo[0]
 
+    qdec_h8 = None  # int8-head fused bundle (built by the batch section)
+
     def prompt(batch):
         ids = np.zeros((batch, S, config.frame_width), np.int32)
         ids[..., -1] = rng.integers(1, config.text_vocab_size, (batch, S))
@@ -235,7 +237,6 @@ def main():
     if not args.skip_batch and args.batch > 1:
         from csm_tpu.ops.fused_decoder import MAX_VALIDATED_B as _fd_single_b
 
-        qdec_h8 = None
         batches = (8, 16) if args.batch == 8 else (args.batch,)
         for batch in batches:
             print(f"batch-{batch} aggregate...", file=sys.stderr)
@@ -496,6 +497,12 @@ def main():
     # 7. full-context train step (flash VJP + remat, S=2048)
     if not args.skip_train and on_tpu:
         print("train step S=2048 (flash VJP + remat)...", file=sys.stderr)
+        # The quantized bundles (~2.5 GB: int8/int4 backbones, fused
+        # decoder, int8-head variant) are generation-only; free them before
+        # the train step allocates the f32 Adam state (~10 GB) + grads —
+        # with them alive the step RESOURCE_EXHAUSTs a 16 GB chip.
+        _qsb4_memo.clear()
+        qdec = qbb = qsb = qdec_h8 = None  # noqa: F841 — drop closure cells
         from csm_tpu.train.loop import TrainState, make_optimizer, make_train_step
 
         St = 2048
