@@ -278,3 +278,30 @@ def test_parse_args_mesh_flags():
     ])
     assert (targs.mesh_data, targs.mesh_seq, targs.mesh_model) == (2, 2, 2)
     assert targs.learning_rate == 1e-4
+
+
+def test_no_convert_pair_rounding_outside_kernels():
+    """Guard against reintroducing the excess-precision hazard: on this
+    TPU backend ``--xla_allow_excess_precision`` lets XLA elide an
+    ``astype(bf16).astype(f32)`` convert pair in one consumer but not
+    another, making "rounded" logits compare unequal to themselves
+    (hardware-observed as first_argmax's 2**30 sentinel).  XLA-side code
+    must use ``ops.fused_decoder.bf16_round`` (lax.reduce_precision);
+    only Pallas kernel bodies may keep the literal convert spelling."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "csm_tpu"
+    pat = re.compile(r"astype\(jnp\.bfloat16\)\s*\.astype\(jnp\.float32\)")
+    allowed = {
+        # In-kernel sites (Mosaic compiles converts literally):
+        "ops/fused_decoder.py": 1,  # classify() inside the kernel body
+        "ops/bb_kernel.py": 1,      # the c0-head rounding inside the kernel
+    }
+    for f in sorted(root.rglob("*.py")):
+        rel = str(f.relative_to(root))
+        n = len(pat.findall(f.read_text()))
+        assert n <= allowed.get(rel, 0), (
+            f"{rel}: {n} astype(bf16).astype(f32) convert pair(s) — use "
+            "bf16_round (lax.reduce_precision) outside Pallas kernel bodies"
+        )
