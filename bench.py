@@ -164,6 +164,10 @@ def main():
         return _qsb4_memo[0]
 
     qdec_h8 = None  # int8-head fused bundle (built by the batch section)
+    # Pre-declared so the train section can release every bundle-holding
+    # local regardless of which sections ran (Python function scope keeps
+    # section locals alive to the end of main otherwise).
+    q = qsb4a = qsb4b = variants = results = bundles = None
 
     def prompt(batch):
         ids = np.zeros((batch, S, config.frame_width), np.int32)
@@ -498,11 +502,14 @@ def main():
     if not args.skip_train and on_tpu:
         print("train step S=2048 (flash VJP + remat)...", file=sys.stderr)
         # The quantized bundles (~2.5 GB: int8/int4 backbones, fused
-        # decoder, int8-head variant) are generation-only; free them before
-        # the train step allocates the f32 Adam state (~10 GB) + grads —
-        # with them alive the step RESOURCE_EXHAUSTs a 16 GB chip.
+        # decoder, int8-head variant) are generation-only; free EVERY local
+        # that can reach them before the train step allocates the f32 Adam
+        # state (~10 GB) + grads — with them alive the step
+        # RESOURCE_EXHAUSTs a 16 GB chip.  (The per-section locals matter:
+        # `variants`/`q`/`bundles` would otherwise pin the same buffers.)
         _qsb4_memo.clear()
         qdec = qbb = qsb = qdec_h8 = None  # noqa: F841 — drop closure cells
+        q = qsb4a = qsb4b = variants = results = bundles = None  # noqa: F841
         from csm_tpu.train.loop import TrainState, make_optimizer, make_train_step
 
         St = 2048

@@ -444,11 +444,18 @@ class StreamingMimiEncoder:
     def __init__(self, codec, batch: int = 1):
         self.codec = codec
         self.state = encode_state_init(codec.config, batch)
-        self._step = jax.jit(
-            lambda p, s, c: encode_step(
-                codec.config, p, s, c, codec.num_codebooks
+        # One jitted step per CODEC, not per wrapper: per-slot serving
+        # builds many wrappers, and a fresh jax.jit per instance would
+        # trace + compile the identical program once per slot.
+        step = getattr(codec, "_stream_encode_jit", None)
+        if step is None:
+            step = jax.jit(
+                lambda p, s, c: encode_step(
+                    codec.config, p, s, c, codec.num_codebooks
+                )
             )
-        )
+            codec._stream_encode_jit = step
+        self._step = step
 
     def feed(self, wave) -> np.ndarray:
         codes, self.state = self._step(self.codec.params, self.state,
@@ -471,9 +478,15 @@ class StreamingMimiDecoder:
     def __init__(self, codec, batch: int = 1):
         self.codec = codec
         self.state = decode_state_init(codec.config, batch)
-        self._step = jax.jit(
-            lambda p, s, c: decode_step(codec.config, p, s, c)
-        )
+        # Shared per-codec jit (see StreamingMimiEncoder.__init__): a
+        # 16-slot CSMServer builds 16 of these — one compile, not 16.
+        step = getattr(codec, "_stream_decode_jit", None)
+        if step is None:
+            step = jax.jit(
+                lambda p, s, c: decode_step(codec.config, p, s, c)
+            )
+            codec._stream_decode_jit = step
+        self._step = step
 
     def feed(self, codes) -> np.ndarray:
         """``[B, Q, t]`` codes → ``[B, t*hop]`` new audio samples."""

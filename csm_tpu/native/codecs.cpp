@@ -32,11 +32,21 @@
 #include <vector>
 
 // FFmpeg breadth backstop (AAC/M4A/...): compiled against the installed
-// headers, resolved via dlopen at runtime (see the FFmpeg section below).
+// headers when present, resolved via dlopen at runtime (see the FFmpeg
+// section below).  Header absence must NOT break the build — the rest of
+// the runtime (WAV/FLAC/MP3/OGG, resampler) predates this backstop and
+// keeps working without FFmpeg; the backstop then reports -50.
+#if defined(__has_include)
+#  if __has_include(<libavcodec/avcodec.h>) && __has_include(<libavformat/avformat.h>)
+#    define CSM_HAVE_FFMPEG_HEADERS 1
+#  endif
+#endif
+#ifdef CSM_HAVE_FFMPEG_HEADERS
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 }
+#endif
 
 extern "C" {
 int wav_read(const char* path, float** out, int* channels, int* sample_rate,
@@ -533,6 +543,14 @@ int ogg_decode(const char* path, float** out, int* channels, int* sample_rate,
 // single-codec paths above don't cover.
 // ---------------------------------------------------------------------------
 
+#ifndef CSM_HAVE_FFMPEG_HEADERS
+
+int ffmpeg_decode(const char*, float**, int*, int*, long*) {
+  return -50;  // built without FFmpeg headers: backstop unavailable
+}
+
+#else  // CSM_HAVE_FFMPEG_HEADERS
+
 struct FFmpeg {
   void* so_fmt = nullptr;
   void* so_cod = nullptr;
@@ -564,15 +582,17 @@ FFmpeg& ffmpeg() {
   if (tried) return m;
   tried = true;
   // avformat's DT_NEEDED pulls avcodec/avutil; GLOBAL so avcodec's dlopen
-  // resolves shared avutil symbols from one copy.
-  for (const char* name : {"libavformat.so.59", "libavformat.so"}) {
-    m.so_fmt = dlopen(name, RTLD_NOW | RTLD_GLOBAL);
-    if (m.so_fmt) break;
-  }
-  for (const char* name : {"libavcodec.so.59", "libavcodec.so"}) {
-    m.so_cod = dlopen(name, RTLD_NOW | RTLD_GLOBAL);
-    if (m.so_cod) break;
-  }
+  // resolves shared avutil symbols from one copy.  The soname major MUST
+  // match the headers this file was compiled against — struct offsets
+  // (AVCodecContext/AVFrame) differ across majors, so a mismatched
+  // runtime would read garbage; no unversioned fallback for that reason.
+  char fmt_name[64], cod_name[64];
+  snprintf(fmt_name, sizeof(fmt_name), "libavformat.so.%d",
+           LIBAVFORMAT_VERSION_MAJOR);
+  snprintf(cod_name, sizeof(cod_name), "libavcodec.so.%d",
+           LIBAVCODEC_VERSION_MAJOR);
+  m.so_fmt = dlopen(fmt_name, RTLD_NOW | RTLD_GLOBAL);
+  m.so_cod = dlopen(cod_name, RTLD_NOW | RTLD_GLOBAL);
   if (!m.so_fmt || !m.so_cod) return m;
 #define LF(handle, sym, field) \
   *(void**)(&m.field) = dlsym(m.handle, sym); \
@@ -606,6 +626,8 @@ bool append_frame_samples(const AVFrame* fr, int ch, std::vector<float>& pcm) {
   size_t base = pcm.size();
   pcm.resize(base + (size_t)n * ch);
   float* dst = pcm.data() + base;
+  // Planar formats with more than 8 channels live in extended_data
+  // (data[] has 8 slots); extended_data aliases data for <= 8.
   auto planar = [&](auto convert) {
     for (int i = 0; i < n; i++)
       for (int c = 0; c < ch; c++) dst[(size_t)i * ch + c] = convert(c, i);
@@ -617,7 +639,7 @@ bool append_frame_samples(const AVFrame* fr, int ch, std::vector<float>& pcm) {
       return true;
     }
     case AV_SAMPLE_FMT_FLTP:
-      planar([&](int c, int i) { return ((const float*)fr->data[c])[i]; });
+      planar([&](int c, int i) { return ((const float*)fr->extended_data[c])[i]; });
       return true;
     case AV_SAMPLE_FMT_S16: {
       const int16_t* s = (const int16_t*)fr->data[0];
@@ -626,7 +648,7 @@ bool append_frame_samples(const AVFrame* fr, int ch, std::vector<float>& pcm) {
     }
     case AV_SAMPLE_FMT_S16P:
       planar([&](int c, int i) {
-        return ((const int16_t*)fr->data[c])[i] / 32768.0f;
+        return ((const int16_t*)fr->extended_data[c])[i] / 32768.0f;
       });
       return true;
     case AV_SAMPLE_FMT_S32: {
@@ -637,7 +659,7 @@ bool append_frame_samples(const AVFrame* fr, int ch, std::vector<float>& pcm) {
     }
     case AV_SAMPLE_FMT_S32P:
       planar([&](int c, int i) {
-        return (float)(((const int32_t*)fr->data[c])[i] / 2147483648.0);
+        return (float)(((const int32_t*)fr->extended_data[c])[i] / 2147483648.0);
       });
       return true;
     case AV_SAMPLE_FMT_DBL: {
@@ -647,7 +669,7 @@ bool append_frame_samples(const AVFrame* fr, int ch, std::vector<float>& pcm) {
     }
     case AV_SAMPLE_FMT_DBLP:
       planar([&](int c, int i) {
-        return (float)((const double*)fr->data[c])[i];
+        return (float)((const double*)fr->extended_data[c])[i];
       });
       return true;
     case AV_SAMPLE_FMT_U8: {
@@ -658,7 +680,7 @@ bool append_frame_samples(const AVFrame* fr, int ch, std::vector<float>& pcm) {
     }
     case AV_SAMPLE_FMT_U8P:
       planar([&](int c, int i) {
-        return (((const uint8_t*)fr->data[c])[i] - 128) / 128.0f;
+        return (((const uint8_t*)fr->extended_data[c])[i] - 128) / 128.0f;
       });
       return true;
     default:
@@ -730,6 +752,8 @@ int ffmpeg_decode(const char* path, float** out, int* channels,
   *frames = (long)(pcm.size() / ch);
   return 0;
 }
+
+#endif  // CSM_HAVE_FFMPEG_HEADERS
 
 }  // namespace
 

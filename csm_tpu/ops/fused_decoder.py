@@ -422,7 +422,7 @@ def _decoder_pass(
     its output, so the norm reduce overlaps the dot.  Attention for ALL
     streams and KV heads is two block-diagonal dots per layer
     (:func:`_attend_merged`); the KV scratch is stored pre-merged as
-    ``[L, P, B*nkv*hd]`` so reads need no transpose.  Batching is near-free
+    ``[L, N=32, B*nkv*hd]`` bf16 (rows = positions 0..31; see the scratch_shapes note) so reads need no transpose.  Batching is near-free
     here: serial matvec latency dominates, and extra rows ride the same
     MXU passes — the basis of the batched serving path's aggregate
     throughput.

@@ -396,25 +396,48 @@ class CSMTrainer:
 
         q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
         sentinel = object()
+        stop = threading.Event()  # consumer gone: worker must not block
+
+        def put_or_stop(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue_mod.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for item in it:
-                    q.put(item)
-                q.put(sentinel)
+                    if not put_or_stop(item):
+                        return
+                put_or_stop(sentinel)
             except BaseException as e:  # noqa: BLE001 — re-raised below
-                q.put(e)
+                put_or_stop(e)
 
         threading.Thread(
             target=worker, daemon=True, name="csm-batch-prefetch"
         ).start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Abandoned mid-stream (checkpoint/eval raised, Ctrl-C, early
+            # break): release the worker — otherwise it parks in put() on
+            # a full queue forever, pinning depth+1 device-resident batches
+            # per aborted train().
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue_mod.Empty:
+                pass
 
     def _collate_group(self, buf, accum):
         collated = self.data_collator(buf)

@@ -6,8 +6,10 @@ each variant needs a fresh process):
 
     python scripts/ablate_train.py                 # baseline (dots policy)
     python scripts/ablate_train.py --max-dec 1     # decoder loss ~off
-    python scripts/ablate_train.py --no-c0-loss    # fwd/bwd without the
-                                                   #   [S, Va] head matmul + CE
+    python scripts/ablate_train.py --no-c0-loss    # FORWARD-only without
+                                                   #   labels (no head matmul,
+                                                   #   CE, or decoder loss —
+                                                   #   compare to --fwd-only)
     CSM_FLASH_BLOCK=512 python scripts/ablate_train.py --tag blk512
     python scripts/ablate_train.py --fwd-only      # loss fwd, no grad/update
 
