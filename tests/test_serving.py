@@ -401,6 +401,47 @@ def test_server_streaming_audio_matches_offline_decode():
     assert server.stats()["audio_samples"] == 3 * budget * hop
 
 
+def test_cancel_with_codec_finalizes_partial_audio():
+    """Cancelling a running request with a codec attached finalizes its
+    PCM: server.audio[rid] holds exactly the frames observed so far,
+    and the freed slot's decoder resets cleanly for the next request."""
+    import jax
+
+    from csm_tpu.codec import MimiCodec, MimiCodecConfig, random_mimi_params
+    from csm_tpu.models import csm
+    from csm_tpu.serving import CSMServer
+
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg)
+    ccfg = MimiCodecConfig.tiny(num_quantizers=cfg.audio_num_codebooks)
+    codec = MimiCodec(ccfg, random_mimi_params(ccfg, seed=9))
+    hop = int(2 * ccfg.total_stride)
+
+    server = CSMServer(params, cfg, n_slots=1, window=64, greedy=True,
+                       stop_on_all_zeros=False, max_new_frames=6,
+                       codec=codec)
+    ids, mask = _prompt(cfg, 5, seed=95)
+    rid = server.submit(ids, mask, rng=jax.random.key(96))
+    server.step()  # admission frame + one step = 2 frames observed
+    server.cancel(rid)
+    assert server.results[rid].shape[0] == 2
+    assert server.audio[rid].shape == (2 * hop,)
+    np.testing.assert_allclose(
+        server.audio[rid],
+        codec.decode(server.results[rid].T.astype(np.int32)),
+        rtol=1e-4, atol=1e-5,
+    )
+    # The freed slot serves a fresh request with reset decoder state.
+    ids2, mask2 = _prompt(cfg, 6, seed=97)
+    rid2 = server.submit(ids2, mask2, rng=jax.random.key(98))
+    server.run_until_idle()
+    np.testing.assert_allclose(
+        server.audio[rid2],
+        codec.decode(server.results[rid2].T.astype(np.int32)),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_uniform_fast_path_engages_with_inexact_default_temp():
     """Regression: a default temperature that is not exactly representable
     in float32 (e.g. 0.9) must still count as "uniform" when every slot
