@@ -74,6 +74,16 @@ NEG_INF = -1e9
 # cannot compile on this backend, so the cap is 8 for both head widths.)
 MAX_VALIDATED_B = 8
 MAX_VALIDATED_B_1SLOT = 8  # int8 head: same single-program cap (see above)
+# Single-program cap for the STREAMED-w_down kernel variant (stream_down=
+# True): w_down (~34 MB int8, the largest weight family) leaves VMEM and
+# streams per layer through a 2-slot double buffer (~17 MB), freeing ~17 MB
+# of scoped VMEM — enough for one B=16 program where the resident form
+# measures ~119.5 MB against the 118.7 MiB limit.  The per-pass slice DMA
+# (8.4 MB ≈ 10 µs) hides under the next layer's compute; steady-state cost
+# is ~1 GB/frame of extra HBM reads fully overlapped with the serial-matvec
+# latency the kernel is bound by.  Hardware-validated at 16
+# (scripts/check_fused_hw.py --stream-down; KERNEL_CHECKS.json).
+MAX_VALIDATED_B_STREAMDOWN = 16
 MAX_CHUNKED_B = 4 * MAX_VALIDATED_B
 
 _MATS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -410,6 +420,7 @@ def _decoder_pass(
     sin_ref,
     kv_k,
     kv_v,
+    wd_stream=None,  # (wd_hbm, wd_buf, wd_sem): stream w_down per layer
 ) -> jnp.ndarray:
     """One forward pass of the 4-layer decoder over ``T`` tokens of ``B``
     streams starting at absolute position ``pos0`` (all streams are
@@ -479,7 +490,28 @@ def _decoder_pass(
         h = h + _qmm(attn, w_refs["wo"][l], s_refs["wo"][l])
         gu = _qmm(h, w_refs["w_gu"][l], s_refs["w_gu"][l]) * _rms_scale(h, eps)
         gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
-        h = h + _qmm(gated, w_refs["w_down"][l], s_refs["w_down"][l])
+        if wd_stream is None:
+            h = h + _qmm(gated, w_refs["w_down"][l], s_refs["w_down"][l])
+        else:
+            # Streamed w_down (the B=16 single-program tier): layer ``l``'s
+            # slice was DMA'd into slot ``l % 2`` by its previous consumer
+            # (or the kernel preamble); consume it, then refill the slot
+            # with layer ``(l + 2) % L``'s slice — with L even that is
+            # exactly the next slice this slot serves, both later in this
+            # pass and across passes (after a full pass, slot 0 again holds
+            # layer 0, slot 1 layer 1).  The refill enqueue is ordered
+            # after the dot's reads by the WAR dependency on ``wd_buf``
+            # (same single-slot pattern as the head buffer), and its
+            # ~10 µs DMA hides under the following layers' compute.
+            wd_hbm, wd_buf, wd_sem = wd_stream
+            slot = l % 2
+            pltpu.make_async_copy(
+                wd_hbm.at[l], wd_buf.at[slot], wd_sem.at[slot]
+            ).wait()
+            h = h + _qmm(gated, wd_buf[slot], s_refs["w_down"][l])
+            pltpu.make_async_copy(
+                wd_hbm.at[(l + 2) % L], wd_buf.at[slot], wd_sem.at[slot]
+            ).start()
     h_last = h.reshape(B, T, Dd)[:, T - 1, :]  # [B, Dd]
     return h_last * _rms_scale(h_last, eps)
 
@@ -491,6 +523,7 @@ def _make_kernel(
     B: int,
     head_slots: int = 2,
     head_scaled: bool = False,
+    stream_down: bool = False,
 ):
     dcfg = config.decoder
     eps = dcfg.rms_norm_eps
@@ -525,7 +558,13 @@ def _make_kernel(
         emb_sem,  # DMA sem (B,)
         gum_sem,  # DMA sem (2,)
         hs_sem,  # DMA sem (head_slots,)
+        *wd_scratch,  # stream_down only: wd_buf VMEM (2, F, Dd) int8, wd_sem
     ):
+        if stream_down:
+            wd_buf, wd_sem = wd_scratch
+            wd_stream = (wd, wd_buf, wd_sem)
+        else:
+            wd_stream = None
         w_refs = dict(zip(_KERNEL_MATS, (wqkv, wo, wgu, wd)))
         s_refs = dict(zip(_KERNEL_MATS, (sqkv, so, sgu, sd)))
         temp = temp_ref[...]  # [B, 1]
@@ -596,6 +635,14 @@ def _make_kernel(
         head_dma_start(0, 0)
         gum_dma(0).start()
         gum_dma(1).start()
+        if stream_down:
+            # Prime the w_down double buffer: layers 0 and 1 (the prefill
+            # pass's first two consumers); every later slice is fetched by
+            # the consumer that frees its slot (_decoder_pass).
+            for slot in (0, 1):
+                pltpu.make_async_copy(
+                    wd.at[slot], wd_buf.at[slot], wd_sem.at[slot]
+                ).start()
 
         col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
         vcol = jax.lax.broadcasted_iota(jnp.int32, (B, Va_pad), 1)
@@ -623,6 +670,7 @@ def _make_kernel(
         h_last = _decoder_pass(
             x_prefill, 0, B, 2, dcfg, eps,
             w_refs, s_refs, cos_ref, sin_ref, kv_k, kv_v,
+            wd_stream=wd_stream,
         )
 
         def classify(h_last, i):
@@ -664,6 +712,7 @@ def _make_kernel(
             h_next = _decoder_pass(
                 x, i + 1, B, 1, dcfg, eps, w_refs, s_refs,
                 cos_ref, sin_ref, kv_k, kv_v,
+                wd_stream=wd_stream,
             )
             return h_next, samples
 
@@ -673,12 +722,20 @@ def _make_kernel(
         # the loop used to run was pure waste (~3% of kernel time).
         c_last = classify(h_last, N - 1)
         samples_ref[:] = jnp.where(col == N - 1, c_last[:, None], samples)
+        if stream_down:
+            # The last pass's refills (layers 0 and 1, primed for a pass
+            # that never runs) must be drained — a DMA still in flight at
+            # kernel exit is an error.
+            for slot in (0, 1):
+                pltpu.make_async_copy(
+                    wd.at[slot], wd_buf.at[slot], wd_sem.at[slot]
+                ).wait()
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "greedy", "interpret")
+    jax.jit, static_argnames=("config", "greedy", "interpret", "stream_down")
 )
 def fused_decode_codebooks(
     qdec: dict,
@@ -691,9 +748,15 @@ def fused_decode_codebooks(
     topk,  # int or [B] int32 per-row (dynamic: never triggers a recompile)
     greedy: bool,
     interpret: bool = False,
+    stream_down: bool = False,
 ) -> jnp.ndarray:
     """Run the fused kernel; samples ALL ``N`` codebooks (c0 included) and
-    returns ``[B, N]`` int32."""
+    returns ``[B, N]`` int32.
+
+    ``stream_down=True`` selects the streamed-``w_down`` variant (see the
+    constants block): identical math and outputs, ~17 MB less scoped VMEM —
+    the tier that fits a single B=16 program.  Requires an even layer
+    count (the 2-slot refill cycle's invariant)."""
     dcfg = config.decoder
     N = config.audio_num_codebooks
     Va = config.audio_vocab_size
@@ -717,12 +780,18 @@ def fused_decode_codebooks(
     c0_logits = jnp.pad(c0_logits, ((0, 0), (0, Va_pad - Va)))
 
     head_scaled = "head_scale" in qdec
+    if stream_down and L % 2 != 0:
+        raise ValueError(
+            f"stream_down requires an even decoder layer count, got {L}"
+        )
     # Past the double-buffer-validated batch the head buffer drops to one
     # slot (start-after-consume) — kept for oversized direct callers; the
-    # shipped paths chunk at MAX_VALIDATED_B so this stays 2.
-    head_slots = 2 if B <= MAX_VALIDATED_B else 1
+    # shipped paths chunk at MAX_VALIDATED_B so this stays 2.  The streamed
+    # tier keeps both slots: w_down leaving VMEM pays for the second one
+    # many times over.
+    head_slots = 2 if (B <= MAX_VALIDATED_B or stream_down) else 1
     kernel = _make_kernel(
-        config, greedy, head_dtype, B, head_slots, head_scaled
+        config, greedy, head_dtype, B, head_slots, head_scaled, stream_down
     )
     temp_v = jnp.broadcast_to(
         jnp.asarray(temperature, jnp.float32).reshape(-1), (B,)
@@ -738,18 +807,37 @@ def fused_decode_codebooks(
     )
 
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
     weights = [qdec["w"][m] for m in _KERNEL_MATS] + [
         qdec["s"][m] for m in _KERNEL_MATS
     ]
+    w_specs = [vm] * len(_KERNEL_MATS)
+    if stream_down:
+        # w_down stays in HBM; the kernel streams per-layer slices through
+        # a 2-slot VMEM ring (scratch below).
+        w_specs[_KERNEL_MATS.index("w_down")] = any_
     in_specs = (
         [vm, vm, vm, vm]  # temp, topk, x0, c0 logits
-        + [vm] * (2 * len(_KERNEL_MATS))
+        + w_specs
+        + [vm] * len(_KERNEL_MATS)  # scales
         + [vm] * 2  # rope tables
         # head rescale (streamed per-row), gumbel, head, emb tables
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        + [any_] * 4
     )
 
     vmem_bytes = sum(int(w.size * w.dtype.itemsize) for w in weights)
+    if stream_down:
+        wd = qdec["w"]["w_down"]
+        F_down = wd.shape[1]
+        vmem_bytes -= int(wd.size * wd.dtype.itemsize)
+        vmem_bytes += 2 * F_down * Dd  # the int8 double buffer
+        # The streamed tier runs bigger batches, whose block-diagonal
+        # attention temporaries scale ~B² — measured 106.3 MiB of actual
+        # stack at B=8 against the resident form's 10 MB slack estimate.
+        # The freed w_down residency is headroom by construction; spend
+        # half of it on the limit so the Mosaic stack allocator is never
+        # the binding constraint below the physical ~118.7 MiB cap.
+        vmem_bytes += 12 * 1024 * 1024
     vmem_bytes += (
         head_slots * Dd * Va_pad * jnp.dtype(head_dtype).itemsize
     )  # head_buf
@@ -781,7 +869,14 @@ def fused_decode_codebooks(
             pltpu.SemaphoreType.DMA((B,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((head_slots,)),
-        ],
+        ] + (
+            [
+                pltpu.VMEM((2, qdec["w"]["w_down"].shape[1], Dd), jnp.int8),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if stream_down
+            else []
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(vmem_bytes, 127 * 1024 * 1024),
         ),
@@ -1005,17 +1100,30 @@ def decode_frame_fused(
     x0 = last_h @ params["projection"]  # [B, Dd]
     x0 = x0.astype(jnp.float32)
     c0lg = c0_logits.astype(jnp.float32)
-    # Single-program cap (see the constants block: B=16 single programs
-    # exceed this backend's scoped-VMEM limit for either head width, so
-    # both head tiers chunk at 8).
+    # Single-program caps (see the constants block).  Up to 8 rows the
+    # fully-resident program runs (lowest latency); 9..16 rows run ONE
+    # streamed-w_down program (w_down leaves VMEM — identical math, and
+    # ~40 % faster than two resident chunks since the 31-step serial
+    # latency is paid once); past that, sequential chunks.
     cap = MAX_VALIDATED_B_1SLOT if "head_scale" in qdec else MAX_VALIDATED_B
-    if B <= cap:
+    stream_cap = (
+        MAX_VALIDATED_B_STREAMDOWN
+        if config.decoder.num_hidden_layers % 2 == 0
+        else cap
+    )
+
+    def one(x0, c0lg, gumbel, temp_b, topk_b):
+        b = x0.shape[0]
         return fused_decode_codebooks(
             qdec, config, x0, c0lg, gumbel, temp_b,
             topk=topk_b, greedy=greedy, interpret=interpret,
-        )  # [B, N]
-    # Batches past the kernel's VMEM-validated cap split into sequential
-    # chunks of ``cap`` rows.  The noise table was built at full B
+            stream_down=b > cap,
+        )  # [b, N]
+
+    if B <= stream_cap:
+        return one(x0, c0lg, gumbel, temp_b, topk_b)
+    # Batches past the kernel's VMEM-validated caps split into sequential
+    # chunks.  The noise table was built at full B
     # above, so every row's draw is bitwise what the joint/per-stream XLA
     # semantics prescribe — slicing it keeps each chunk row-identical to
     # its solo run.  Cost per extra chunk = one weight reload into VMEM
@@ -1023,10 +1131,9 @@ def decode_frame_fused(
     # cheaper than the XLA codebook loop, which re-reads the weights from
     # HBM on all 31 steps.
     outs = []
-    for s in range(0, B, cap):
-        e = min(s + cap, B)
-        outs.append(fused_decode_codebooks(
-            qdec, config, x0[s:e], c0lg[s:e], gumbel[:, s:e], temp_b[s:e],
-            topk=topk_b[s:e], greedy=greedy, interpret=interpret,
+    for s in range(0, B, stream_cap):
+        e = min(s + stream_cap, B)
+        outs.append(one(
+            x0[s:e], c0lg[s:e], gumbel[:, s:e], temp_b[s:e], topk_b[s:e]
         ))
     return jnp.concatenate(outs, axis=0)  # [B, N]

@@ -77,6 +77,7 @@ def main():
     from csm_tpu.config import CSMConfig
     from csm_tpu.models import csm
     from csm_tpu.ops.fused_decoder import (
+        MAX_VALIDATED_B,
         emulate_decode_codebooks,
         fused_decode_codebooks,
         prepare_fused_decoder,
@@ -99,9 +100,13 @@ def main():
 
     kern_fn = {}
     for greedy in (True, False):
+        # Batches past the resident cap ride the streamed-w_down program —
+        # the same dispatch rule decode_frame_fused ships (the batch size
+        # is static at trace time, so this resolves per shape).
         kern_fn[greedy] = jax.jit(
             lambda q, x, c, g, _greedy=greedy: fused_decode_codebooks(
-                q, config, x, c, g, 1.0, topk=50, greedy=_greedy
+                q, config, x, c, g, 1.0, topk=50, greedy=_greedy,
+                stream_down=x.shape[0] > MAX_VALIDATED_B,
             )
         )
     emu_fn = {}

@@ -200,7 +200,11 @@ def test_chunked_decode_past_validated_cap(setup):
     """Batches past MAX_VALIDATED_B split into sequential capped chunks
     (``decode_frame_fused``); per-stream keys must make each row bitwise
     equal to its solo run, and the joint-key mode must equal one unchunked
-    call at the same B (the noise table is built at full B, then sliced)."""
+    call at the same B (the noise table is built at full B, then sliced).
+
+    The streamed-w_down tier is pinned equal to chunking elsewhere
+    (test_streamdown_*); here it is disabled so the chunk path itself
+    stays exercised."""
     config, params, qdec, *_ = setup
     cap = fd.MAX_VALIDATED_B
     B = cap + 3  # one full chunk + a remainder chunk
@@ -212,27 +216,36 @@ def test_chunked_decode_past_validated_cap(setup):
     ).astype(jnp.bfloat16).astype(jnp.float32)
     keys = jax.random.split(jax.random.key(13), B)
 
-    out = fd.decode_frame_fused(
-        params, qdec, config, last_h, c0_logits, keys, 0.8, 5, False,
-        interpret=True,
-    )
-    assert out.shape == (B, config.audio_num_codebooks)
-    solo = np.stack([
-        np.asarray(fd.decode_frame_fused(
-            params, qdec, config, last_h[b:b+1], c0_logits[b:b+1],
-            keys[b:b+1], 0.8, 5, False, interpret=True,
-        ))[0]
-        for b in range(B)
-    ])
-    np.testing.assert_array_equal(np.asarray(out), solo)
+    orig_stream = fd.MAX_VALIDATED_B_STREAMDOWN
+    fd.MAX_VALIDATED_B_STREAMDOWN = cap  # force the chunk path at B=11
+    try:
+        out = fd.decode_frame_fused(
+            params, qdec, config, last_h, c0_logits, keys, 0.8, 5, False,
+            interpret=True,
+        )
+        assert out.shape == (B, config.audio_num_codebooks)
+        solo = np.stack([
+            np.asarray(fd.decode_frame_fused(
+                params, qdec, config, last_h[b:b+1], c0_logits[b:b+1],
+                keys[b:b+1], 0.8, 5, False, interpret=True,
+            ))[0]
+            for b in range(B)
+        ])
+        np.testing.assert_array_equal(np.asarray(out), solo)
+    finally:
+        fd.MAX_VALIDATED_B_STREAMDOWN = orig_stream
 
     # Joint-key mode: chunking must not change the draw — compare against
     # a monkeypatched unchunked call at the same B (interpret mode has no
     # VMEM cap, so the monolithic program is runnable as the oracle).
-    joint = fd.decode_frame_fused(
-        params, qdec, config, last_h, c0_logits, jax.random.key(21),
-        0.8, 5, False, interpret=True,
-    )
+    fd.MAX_VALIDATED_B_STREAMDOWN = cap
+    try:
+        joint = fd.decode_frame_fused(
+            params, qdec, config, last_h, c0_logits, jax.random.key(21),
+            0.8, 5, False, interpret=True,
+        )
+    finally:
+        fd.MAX_VALIDATED_B_STREAMDOWN = orig_stream
     orig = fd.MAX_VALIDATED_B
     try:
         fd.MAX_VALIDATED_B = B
@@ -243,6 +256,87 @@ def test_chunked_decode_past_validated_cap(setup):
     finally:
         fd.MAX_VALIDATED_B = orig
     np.testing.assert_array_equal(np.asarray(joint), np.asarray(mono))
+
+
+def test_streamdown_kernel_matches_resident(setup):
+    """The streamed-w_down variant (w_down in HBM, 2-slot DMA ring) is
+    bit-identical to the fully-resident kernel — same math, different
+    residency — for sampled and greedy draws, at a batch inside the
+    streamed tier (MAX_VALIDATED_B < B <= MAX_VALIDATED_B_STREAMDOWN)."""
+    config, params, qdec, *_ = setup
+    B = fd.MAX_VALIDATED_B + 2
+    N, Va = config.audio_num_codebooks, config.audio_vocab_size
+    x0 = jax.random.normal(
+        jax.random.key(41), (B, config.decoder.hidden_size), jnp.float32
+    )
+    c0_logits = jax.random.normal(
+        jax.random.key(42), (B, Va), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    gumbel = jax.random.gumbel(jax.random.key(43), (N, B, Va), jnp.float32)
+    for greedy in (False, True):
+        g = jnp.zeros_like(gumbel) if greedy else gumbel
+        res = fd.fused_decode_codebooks(
+            qdec, config, x0, c0_logits, g, 0.8, topk=5, greedy=greedy,
+            interpret=True,
+        )
+        stream = fd.fused_decode_codebooks(
+            qdec, config, x0, c0_logits, g, 0.8, topk=5, greedy=greedy,
+            interpret=True, stream_down=True,
+        )
+        np.testing.assert_array_equal(np.asarray(res), np.asarray(stream))
+
+
+def test_streamdown_dispatch_and_odd_layers(setup):
+    """``decode_frame_fused`` routes 9..16-row batches through ONE streamed
+    program whose rows bitwise equal their solo (resident) runs; an odd
+    decoder layer count rejects stream_down (the 2-slot refill cycle
+    invariant) and the dispatcher falls back to chunking."""
+    config, params, qdec, *_ = setup
+    B = fd.MAX_VALIDATED_B + 2
+    last_h = jax.random.normal(
+        jax.random.key(51), (B, config.backbone.hidden_size), jnp.float32
+    )
+    c0_logits = jax.random.normal(
+        jax.random.key(52), (B, config.audio_vocab_size), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    keys = jax.random.split(jax.random.key(53), B)
+    out = fd.decode_frame_fused(
+        params, qdec, config, last_h, c0_logits, keys, 0.8, 5, False,
+        interpret=True,
+    )
+    solo = np.stack([
+        np.asarray(fd.decode_frame_fused(
+            params, qdec, config, last_h[b:b+1], c0_logits[b:b+1],
+            keys[b:b+1], 0.8, 5, False, interpret=True,
+        ))[0]
+        for b in range(B)
+    ])
+    np.testing.assert_array_equal(np.asarray(out), solo)
+
+    import pytest as _pytest
+
+    from csm_tpu.config import CSMConfig
+
+    odd_cfg = CSMConfig.tiny()
+    odd_dec = dict(
+        hidden_size=odd_cfg.decoder.hidden_size,
+        intermediate_size=odd_cfg.decoder.intermediate_size,
+        num_hidden_layers=3,
+        num_attention_heads=odd_cfg.decoder.num_attention_heads,
+        num_key_value_heads=odd_cfg.decoder.num_key_value_heads,
+        max_position_embeddings=odd_cfg.decoder.max_position_embeddings,
+    )
+    from csm_tpu.config import LlamaConfig
+
+    odd_cfg = CSMConfig.tiny(decoder=LlamaConfig(**odd_dec))
+    with _pytest.raises(ValueError, match="even decoder layer count"):
+        fd.fused_decode_codebooks(
+            qdec, odd_cfg, jnp.zeros((2, odd_cfg.decoder.hidden_size)),
+            c0_logits[:2], jnp.zeros(
+                (odd_cfg.audio_num_codebooks, 2, odd_cfg.audio_vocab_size)
+            ),
+            1.0, topk=5, greedy=True, interpret=True, stream_down=True,
+        )
 
 
 def test_single_slot_head_schedule_matches_two_slot(setup):
