@@ -247,11 +247,13 @@ def main():
             q = qdec
             head_bits = 16
             if qdec is not None and batch > _fd_single_b:
-                # int8 audio_head for the chunked batches: halves each
-                # chunk's per-step head-slice DMA (the head adds its own
-                # small quantization to the opt-in qdec numerics).  A
-                # single B=16 program exceeds this backend's scoped-VMEM
-                # limit, so 16 rows run as two sequential 8-row chunks.
+                # int8 audio_head past the resident cap: halves the
+                # per-step head-slice DMA (the head adds its own small
+                # quantization to the opt-in qdec numerics).  9..16 rows
+                # run as ONE streamed-w_down program (w_down leaves VMEM
+                # for a 2-slot DMA ring — decode_frame_fused dispatches
+                # it automatically; measured 2.95 ms vs ~4.4 ms for the
+                # two 8-row chunks it replaced).
                 if qdec_h8 is None:
                     from csm_tpu.ops.fused_decoder import prepare_fused_decoder
 

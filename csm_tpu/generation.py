@@ -115,11 +115,12 @@ def decode_frame(
     """
     B = last_h.shape[0]
     # The fused kernel is latency-bound, so batching rows through it is
-    # near-free UP TO one f32 sublane tile (8 rows).  Past the kernel's
-    # VMEM-validated cap, decode_frame_fused splits the batch into
-    # sequential capped chunks (each ~2 ms); the XLA loop's ~8.5 ms
-    # weight-bound floor is flat in B, so chunking wins up to ~4 chunks —
-    # beyond that fall back to the XLA path.
+    # near-free UP TO one f32 sublane tile (8 rows).  9..16 rows run as
+    # ONE streamed-w_down program (w_down leaves VMEM for a 2-slot DMA
+    # ring; ~2.95 ms at B=16 vs ~4.4 ms for two resident chunks); larger
+    # batches split into sequential streamed chunks.  The XLA loop's
+    # ~8.5 ms weight-bound floor is flat in B, so the kernel wins up to
+    # MAX_CHUNKED_B — beyond that fall back to the XLA path.
     from csm_tpu.ops.fused_decoder import MAX_CHUNKED_B as _qdec_max_b
 
     if qdec is not None and B <= _qdec_max_b:

@@ -57,21 +57,23 @@ from csm_tpu.ops.rope import compute_rope_table
 
 NEG_INF = -1e9
 
-# Largest batch a SINGLE kernel program serves
+# Largest batch a SINGLE fully-resident kernel program serves
 # (scripts/check_fused_hw.py + KERNEL_CHECKS.json pin it on hardware).  A
-# B=16 program does NOT fit this backend's scoped-VMEM limit (118.7 MiB):
-# the resident int8 weights (~111 MB) plus head buffer and B-scaled
-# scratch measured 121.5 MB with the bf16 head and still ~119.5 MB after
-# the round-4 shaves (int8 single-slot head, bf16 32-row KV scratch,
-# streamed head-rescale rows, bf16 attention operands) — so B > 8 always
-# goes through decode_frame_fused's sequential capped chunks: exact
-# per-row numerics, one extra weight reload (~0.13 ms) + serial 31-step
-# latency per chunk.  Chunking beats the XLA loop's flat ~8.5 ms
-# weight-bound floor up to MAX_CHUNKED_B.  The int8 head (head_bits=8)
-# still halves each chunk's head-slice DMA traffic and VMEM buffer.
-# (Historical note: round 3 pinned a B=16 single program in emulator mode
-# as MAX_VALIDATED_B_1SLOT=16; hardware measurement this round showed it
-# cannot compile on this backend, so the cap is 8 for both head widths.)
+# resident B=16 program does NOT fit this backend's scoped-VMEM limit
+# (118.7 MiB): the resident int8 weights (~111 MB) plus head buffer and
+# B-scaled scratch measured 121.5 MB with the bf16 head and still
+# ~119.5 MB after the round-4 shaves (int8 single-slot head, bf16 32-row
+# KV scratch, streamed head-rescale rows, bf16 attention operands) — so
+# B > 8 rides the STREAMED-w_down variant below (9..16 in one program),
+# and only batches past that split into decode_frame_fused's sequential
+# chunks: exact per-row numerics, one extra weight reload (~0.13 ms) +
+# serial 31-step latency per chunk.  The kernel beats the XLA loop's
+# flat ~8.5 ms weight-bound floor up to MAX_CHUNKED_B.  The int8 head
+# (head_bits=8) halves the head-slice DMA traffic and VMEM buffer.
+# (Historical note: round 3 pinned a resident B=16 single program in
+# emulator mode as MAX_VALIDATED_B_1SLOT=16; hardware measurement showed
+# it cannot compile on this backend, so the resident cap is 8 for both
+# head widths and B=16 is served by the streamed tier instead.)
 MAX_VALIDATED_B = 8
 MAX_VALIDATED_B_1SLOT = 8  # int8 head: same single-program cap (see above)
 # Single-program cap for the STREAMED-w_down kernel variant (stream_down=
