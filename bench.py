@@ -241,7 +241,12 @@ def main():
     if not args.skip_batch and args.batch > 1:
         from csm_tpu.ops.fused_decoder import MAX_VALIDATED_B as _fd_single_b
 
-        batches = (8, 16) if args.batch == 8 else (args.batch,)
+        # Default sweep: 8 (BASELINE config 4), 16 (the single streamed-
+        # program sweet spot), 32 (graceful-degradation tier: XLA W8A16
+        # backbone past the bb kernel's validated batch + two streamed
+        # decoder chunks — throughput still climbs, per-stream latency
+        # halves).
+        batches = (8, 16, 32) if args.batch == 8 else (args.batch,)
         for batch in batches:
             print(f"batch-{batch} aggregate...", file=sys.stderr)
             q = qdec
