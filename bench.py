@@ -331,10 +331,24 @@ def main():
             run(1, 1, qdec, jax.random.key(10 + i))
             lat.append((time.time() - t0) * 1000)
         p50 = sorted(lat)[len(lat) // 2]
+        # Host-measured wall time includes one program dispatch, which on
+        # this tunneled backend costs ~25 ms by itself — measure it with a
+        # trivial jitted round-trip and report it alongside, so the
+        # on-device prefill+frame time (p50 − dispatch) is auditable.
+        noop = jax.jit(lambda x: x + 1)
+        np.asarray(noop(jnp.int32(0)))  # compile
+        disp = []
+        for _ in range(7):
+            t0 = time.time()
+            np.asarray(noop(jnp.int32(0)))
+            disp.append((time.time() - t0) * 1000)
+        dispatch_ms = sorted(disp)[len(disp) // 2]
         _emit(
             "csm1b_first_frame_latency_ms", p50, "ms",
             BASELINE_MS_PER_FRAME / p50, reps=7,
             spread_pct=100.0 * (max(lat) - min(lat)) / p50,
+            dispatch_ms=dispatch_ms,
+            on_device_ms=max(0.0, p50 - dispatch_ms),
         )
 
     # 4. quantization fidelity: TEACHER-FORCED greedy agreement, quantized

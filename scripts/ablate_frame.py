@@ -134,6 +134,17 @@ def main():
     t_frame = measure(scan_frame, cache0, N_IT, "whole frame step")
     print(f"{'glue (frame - bb - dec)':28s}: {t_frame - t_bb - t_dec:7.3f} ms/iter")
 
+    from _bench_lib import record_check
+
+    record_check(
+        f"frame_ablation_B{B}"
+        + ("_sb" if args.streamed else "")
+        + ("" if args.head_bits == 16 else f"_h{args.head_bits}"),
+        True,
+        bb_ms=float(t_bb), dec_ms=float(t_dec), frame_ms=float(t_frame),
+        agg_frames_per_s=float(B / t_frame * 1000.0),
+    )
+
 
 if __name__ == "__main__":
     main()
