@@ -72,7 +72,9 @@ def main():
 
     rids = []
     for i in range(n_slots):
-        ids, mask = prompt(16 + 8 * i, seed=i)
+        # Ragged prompt lengths, cycled so prompt + decode budget always
+        # fits the 256-frame window at any slot count.
+        ids, mask = prompt(16 + 8 * (i % 24), seed=i)
         # Exercise per-request sampling params on hardware: one greedy
         # request and one with its own temp/topk ride inside the sampled
         # batch (dynamic per-row vectors — no recompile); one request
