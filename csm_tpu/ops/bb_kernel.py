@@ -364,8 +364,29 @@ def _attend_flat(
     (the token's own new K/V) carries 0, padding rows past it NEG_INF —
     padding happens outside the kernel so no lane concat is needed here.
     Returns attention output rows ``[B*nq, hd]`` f32.
+
+    The block-diagonal intermediates (qz / own-mask / out) are
+    ``[B·nq, B·nkv·hd]`` — B² scaling that blows the scoped-VMEM budget
+    past B=16 (measured 207 MB at B=32).  Large batches therefore split
+    into GROUPS of 8 streams, each its own block-diagonal pair of dots
+    over that group's window columns: streams are independent in
+    attention, the dropped off-group blocks contributed exact-0.0
+    partials only, and the emulator shares this very function, so kernel
+    == emulator stays bit-exact at every batch.  B ≤ 16 keeps the
+    original single-pair form (hardware-validated numbers unchanged).
     """
     hd = q_rows.shape[-1]
+    if B > 16:
+        outs = []
+        for g0 in range(0, B, 8):
+            gb = min(8, B - g0)
+            outs.append(_attend_flat(
+                q_rows[g0 * nq:(g0 + gb) * nq],
+                k_win[:, g0 * nkv * hd:(g0 + gb) * nkv * hd],
+                v_win[:, g0 * nkv * hd:(g0 + gb) * nkv * hd],
+                bias[g0:g0 + gb], gb, nq, nkv,
+            ))
+        return jnp.concatenate(outs, axis=0)
     g = nq // nkv
     R = B * nq
     C = B * nkv
@@ -821,10 +842,15 @@ def bb_decode_step(
     # Scratch + head buffer + temporaries.  The block-diagonal attention's
     # intermediates (qz / own-mask / out, each [B·nq, B·nkv·hd] f32) scale
     # with B², so the slack must grow with the batch or B=16 trips the
-    # scoped-vmem allocator.
-    attn_tmp = 3 * (B * nq) * (C * hd) * 4
+    # scoped-vmem allocator.  Past B=16 the attention runs in 8-stream
+    # groups (_attend_flat), so its temporaries are the group's — but the
+    # window-row merge (_merge_streams) still materializes a
+    # [nkv·hd, B·nkv·hd] one-hot tile that grows linearly with B.
+    Ba = min(B, 16) if B <= 16 else 8
+    attn_tmp = 3 * (Ba * nq) * (Ba * nkv * hd) * 4
+    merge_tmp = (nkv * hd) * (C * hd) * 4 * 2
     vmem_limit = (
-        depth * ring_bytes + kv_bytes + Va_pad * D + attn_tmp
+        depth * ring_bytes + kv_bytes + Va_pad * D + attn_tmp + merge_tmp
         + 24 * 1024 * 1024
     )
 
