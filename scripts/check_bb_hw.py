@@ -112,11 +112,18 @@ def main():
     sin_d = jnp.take(rope[1], pos, axis=0)
     bias_d = jnp.where(cache.valid, 0.0, -1e9).astype(jnp.float32)
 
+    # The pure-JAX emulator's chunk-unrolled program grows with B and trips
+    # the remote-compile tunnel's request-size limit at B=32 (HTTP 413) —
+    # its math is row-independent, so the emulator gate runs on the first
+    # Be rows (the kernel still runs and is timed at the full B).
+    Be = min(B, 16)
+
     @jax.jit
     def emu_logits(p, q, i):
-        h0_d = csm.embed_frames(p, config, i, mask)[:, 0, :]
+        h0_d = csm.embed_frames(p, config, i[:Be], mask[:Be])[:, 0, :]
         return emulate_bb_decode_step(
-            q, config, h0_d, cos_d, sin_d, bias_d, cache.k, cache.v
+            q, config, h0_d, cos_d[:Be], sin_d[:Be], bias_d[:Be],
+            cache.k[:, :Be], cache.v[:, :Be],
         )[1]
 
     # GATE: greedy c0 agreement kernel-vs-EMULATOR (same quantized weights,
@@ -127,6 +134,7 @@ def main():
     lg_rels, m_emu, m_bf16 = [], 0, 0
     n_draws = 4
     rows = n_draws * B
+    rows_emu = n_draws * Be
     for d in range(n_draws):
         ids_d = jnp.zeros((B, 1, config.frame_width), jnp.int32).at[..., :-1].set(
             jnp.asarray(
@@ -142,14 +150,14 @@ def main():
         lg_q = np.asarray(lg_q, np.float64)
         lg_rels.append(np.abs(lg_q - lg_ref).max() / (np.abs(lg_ref).max() + 1e-9))
         pick_q = np.argmax(lg_q, -1)
-        pick_e = np.argmax(lg_e, -1)
-        m_emu += int(np.sum(pick_q == pick_e))
+        pick_e = np.argmax(lg_e, -1)  # Be rows (emulator cap above)
+        m_emu += int(np.sum(pick_q[:Be] == pick_e))
         m_bf16 += int(np.sum(pick_q == np.argmax(lg_ref, -1)))
         # GATE: every kernel-vs-emulator flip must be a near-tie on the
         # emulator's own logits (a few bf16 ulps) — a real kernel bug
         # produces large gaps.  Random-init logits are tightly packed, so
         # flips themselves are expected, especially at B=8.
-        for b_i in np.nonzero(pick_q != pick_e)[0]:
+        for b_i in np.nonzero(pick_q[:Be] != pick_e)[0]:
             gap = float(lg_e[b_i, pick_e[b_i]] - lg_e[b_i, pick_q[b_i]])
             if not (abs(gap) < 0.05):
                 ok = False
@@ -162,7 +170,7 @@ def main():
     # the emulator rel gates above and the near-tie flip gate — still apply.
     if bits == 8:
         ok &= bool(rel < 0.15)
-    print(f"greedy c0 rows: kernel==emulator {m_emu}/{rows} "
+    print(f"greedy c0 rows: kernel==emulator {m_emu}/{rows_emu} "
           f"(gate: flips near-tie explained), "
           f"kernel==bf16-XLA {m_bf16}/{rows} (quant-error context); "
           f"c0-logit rel vs bf16 {rel:.2e}")
@@ -195,7 +203,7 @@ def main():
         ok, ms_per_step=float(per),
         hbm_bw_util_pct=float(100 * bw_util),
         c0_logit_rel_vs_bf16=float(rel),
-        greedy_match_emulator=f"{m_emu}/{rows}",
+        greedy_match_emulator=f"{m_emu}/{rows_emu}",
         greedy_match_bf16=f"{m_bf16}/{rows}",
     )
     sys.exit(0 if ok else 1)
