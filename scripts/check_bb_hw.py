@@ -119,11 +119,13 @@ def main():
     Be = min(B, 16)
 
     @jax.jit
-    def emu_logits(p, q, i):
+    def emu_logits(p, q, i, kc, vc):
+        # kc/vc ride as ARGUMENTS — closing over the cache would embed it
+        # as a multi-MB program constant and trip the remote-compile
+        # tunnel's request-size limit at large B.
         h0_d = csm.embed_frames(p, config, i[:Be], mask[:Be])[:, 0, :]
         return emulate_bb_decode_step(
-            q, config, h0_d, cos_d[:Be], sin_d[:Be], bias_d[:Be],
-            cache.k[:, :Be], cache.v[:, :Be],
+            q, config, h0_d, cos_d[:Be], sin_d[:Be], bias_d[:Be], kc, vc
         )[1]
 
     # GATE: greedy c0 agreement kernel-vs-EMULATOR (same quantized weights,
@@ -145,7 +147,10 @@ def main():
         )
         lh_ref, lg_ref = xla_step(params, cache, ids_d)
         lh_q, lg_q = qsb_step(params, qsb, cache, ids_d)
-        lg_e = np.asarray(emu_logits(params, qsb, ids_d), np.float64)
+        lg_e = np.asarray(
+            emu_logits(params, qsb, ids_d, cache.k[:, :Be], cache.v[:, :Be]),
+            np.float64,
+        )
         lg_ref = np.asarray(lg_ref, np.float64)
         lg_q = np.asarray(lg_q, np.float64)
         lg_rels.append(np.abs(lg_q - lg_ref).max() / (np.abs(lg_ref).max() + 1e-9))
