@@ -181,16 +181,20 @@ def main():
           f"c0-logit rel vs bf16 {rel:.2e}")
 
     # scan-amortized kernel timing (data dependency through h0)
-    def scan_kernel(q, h, n):
+    def scan_kernel(q, h, kc_a, vc_a, n):
+        # the KV window rides as arguments (closure constants of this size
+        # trip the remote-compile body limit at B=32)
         def body(hh, _):
-            nh, lg, nk, nv = bb_decode_step(q, config, hh, cos, sin, bias, kc, vc)
+            nh, lg, nk, nv = bb_decode_step(
+                q, config, hh, cos, sin, bias, kc_a, vc_a
+            )
             return nh * 0.01, lg[0, 0]
         _, ls = jax.lax.scan(body, h, None, length=n)
         return ls.sum()
 
     f = jax.jit(scan_kernel, static_argnames=("n",))
-    t_hi = timed(lambda: np.asarray(f(qsb, h0, 40)))
-    t_lo = timed(lambda: np.asarray(f(qsb, h0, 5)))
+    t_hi = timed(lambda: np.asarray(f(qsb, h0, kc, vc, 40)))
+    t_lo = timed(lambda: np.asarray(f(qsb, h0, kc, vc, 5)))
     per = (t_hi - t_lo) / 35
     print(f"bb kernel (B={B}, W={W}, W{bits}A16): {per:.3f} ms/step "
           f"(XLA int8 path was ~1.57 ms at W=256)")
