@@ -77,7 +77,10 @@ CHUNK_N = int(os.environ.get("CSM_BB_CHUNK_N", "2048"))
 # near-free: measured W8A16 at W=256 — B=1: 1.34 ms/step, B=16: 1.67 ms
 # (16 streams for +25% time; the B²-scaling block-diagonal attention
 # temporaries and the extra f32 sublane tiles cost the difference).
-MAX_VALIDATED_B = 16
+# B=32 rides the 8-stream-grouped attention (_attend_flat) to stay inside
+# the scoped-VMEM budget: 3.02 ms/step, still ~1.5 ms under the XLA int8
+# path at that batch.
+MAX_VALIDATED_B = 32
 
 
 # ---------------------------------------------------------------------------
