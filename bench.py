@@ -242,10 +242,10 @@ def main():
         from csm_tpu.ops.fused_decoder import MAX_VALIDATED_B as _fd_single_b
 
         # Default sweep: 8 (BASELINE config 4), 16 (the single streamed-
-        # program sweet spot), 32 (graceful-degradation tier: XLA W8A16
-        # backbone past the bb kernel's validated batch + two streamed
-        # decoder chunks — throughput still climbs, per-stream latency
-        # halves).
+        # program sweet spot), 32 (max-aggregate tier: the bb kernel's
+        # grouped block-diagonal attention covers B=32 as of the cap raise
+        # — 3.02 ms/step on HW vs 4.42 XLA — plus two streamed decoder
+        # chunks; per-stream latency still halves vs 16).
         batches = (8, 16, 32) if args.batch == 8 else (args.batch,)
         for batch in batches:
             print(f"batch-{batch} aggregate...", file=sys.stderr)
