@@ -86,6 +86,21 @@ MAX_VALIDATED_B_1SLOT = 8  # int8 head: same single-program cap (see above)
 # latency the kernel is bound by.  Hardware-validated at 16
 # (scripts/check_fused_hw.py --stream-down; KERNEL_CHECKS.json).
 MAX_VALIDATED_B_STREAMDOWN = 16
+# Single-program cap for the STREAM-EVERYTHING variant (stream_gu=True,
+# implies stream_down): w_gu (~64 MB int8, gate‖up fused) ALSO leaves VMEM,
+# streamed as per-layer gate/up halves ([Dd, F] ≈ 8 MB each) through a
+# 2-slot ring — slot 0 cycles the gate halves, slot 1 the up halves.  Net
+# scoped-VMEM saving vs resident w_gu is ~48 MB, which is what lets ONE
+# B=32 program compile (the stream_down-only form measured 147 MB against
+# the 118.7 MiB cap).  The kernel is then HBM-bound: ~96 MB of w_gu+w_down
+# slices per pass × 33 passes ≈ 3.1 GB/frame ≈ 3.9 ms at 819 GB/s — still
+# well under two sequential B=16 streamed chunks (2 × ~2.9 ms), because
+# the 31-step serial latency is paid once.  Column-half dots are bitwise
+# identical to the fused dot (per-output-column f32 accumulation is
+# independent), so kernel == emulator stays exact.  Hardware-validated at
+# 32 (scripts/check_fused_hw.py 32 8; KERNEL_CHECKS.json
+# fused_decoder_kernel_B32_h8).
+MAX_VALIDATED_B_STREAMGU = 32
 MAX_CHUNKED_B = 4 * MAX_VALIDATED_B
 
 _MATS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -423,6 +438,7 @@ def _decoder_pass(
     kv_k,
     kv_v,
     wd_stream=None,  # (wd_hbm, wd_buf, wd_sem): stream w_down per layer
+    wgu_stream=None,  # (wgu_hbm, wgu_buf, wgu_sem): stream w_gu halves
 ) -> jnp.ndarray:
     """One forward pass of the 4-layer decoder over ``T`` tokens of ``B``
     streams starting at absolute position ``pos0`` (all streams are
@@ -490,8 +506,37 @@ def _decoder_pass(
             q.reshape(B, T, nq, hd), kv_k[l], kv_v[l], pos0, nkv
         ).reshape(B * T, nq * hd)
         h = h + _qmm(attn, w_refs["wo"][l], s_refs["wo"][l])
-        gu = _qmm(h, w_refs["w_gu"][l], s_refs["w_gu"][l]) * _rms_scale(h, eps)
-        gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
+        if wgu_stream is None:
+            gu = _qmm(h, w_refs["w_gu"][l], s_refs["w_gu"][l]) * _rms_scale(h, eps)
+            gated = jax.nn.silu(gu[:, :F]) * gu[:, F:]
+        else:
+            # Streamed w_gu (the B=32 single-program tier): the fused
+            # [Dd, 2F] gate‖up matrix lives in HBM as 2L half-slices
+            # ([Dd, F]; slice 2l = layer l's gate columns, 2l+1 = up).
+            # Slot s%2 holds slice s — slot 0 cycles gates, slot 1 ups —
+            # and each consumer refills its slot with the NEXT layer's
+            # same half ((s+2) % 2L), which wraps across passes exactly
+            # like the w_down ring below.  Two half dots over the same
+            # K contraction are bitwise the fused dot's column halves
+            # (per-output-column f32 accumulation is independent), so
+            # the emulator contract is untouched.
+            wgu_hbm, wgu_buf, wgu_sem = wgu_stream
+            rs = _rms_scale(h, eps)
+            pltpu.make_async_copy(
+                wgu_hbm.at[2 * l], wgu_buf.at[0], wgu_sem.at[0]
+            ).wait()
+            gate = _qmm(h, wgu_buf[0], s_refs["w_gu"][l][:, :F]) * rs
+            pltpu.make_async_copy(
+                wgu_hbm.at[(2 * l + 2) % (2 * L)], wgu_buf.at[0], wgu_sem.at[0]
+            ).start()
+            pltpu.make_async_copy(
+                wgu_hbm.at[2 * l + 1], wgu_buf.at[1], wgu_sem.at[1]
+            ).wait()
+            up = _qmm(h, wgu_buf[1], s_refs["w_gu"][l][:, F:]) * rs
+            pltpu.make_async_copy(
+                wgu_hbm.at[(2 * l + 3) % (2 * L)], wgu_buf.at[1], wgu_sem.at[1]
+            ).start()
+            gated = jax.nn.silu(gate) * up
         if wd_stream is None:
             h = h + _qmm(gated, w_refs["w_down"][l], s_refs["w_down"][l])
         else:
@@ -526,6 +571,7 @@ def _make_kernel(
     head_slots: int = 2,
     head_scaled: bool = False,
     stream_down: bool = False,
+    stream_gu: bool = False,
 ):
     dcfg = config.decoder
     eps = dcfg.rms_norm_eps
@@ -560,10 +606,16 @@ def _make_kernel(
         emb_sem,  # DMA sem (B,)
         gum_sem,  # DMA sem (2,)
         hs_sem,  # DMA sem (head_slots,)
-        *wd_scratch,  # stream_down only: wd_buf VMEM (2, F, Dd) int8, wd_sem
+        *stream_scratch,  # stream_down: wd_buf VMEM (2, F, Dd) int8 + wd_sem;
+        # stream_gu additionally: wgu_buf VMEM (2, Dd, F) int8 + wgu_sem
     ):
-        if stream_down:
-            wd_buf, wd_sem = wd_scratch
+        wgu_stream = None
+        if stream_down and stream_gu:
+            wd_buf, wd_sem, wgu_buf, wgu_sem = stream_scratch
+            wd_stream = (wd, wd_buf, wd_sem)
+            wgu_stream = (wgu, wgu_buf, wgu_sem)
+        elif stream_down:
+            wd_buf, wd_sem = stream_scratch
             wd_stream = (wd, wd_buf, wd_sem)
         else:
             wd_stream = None
@@ -637,6 +689,14 @@ def _make_kernel(
         head_dma_start(0, 0)
         gum_dma(0).start()
         gum_dma(1).start()
+        if stream_gu:
+            # Prime the w_gu ring first — layer 0's gate half (slice 0) is
+            # consumed BEFORE its w_down slice, so its DMA should lead the
+            # queue.  Slices 0 (gate) and 1 (up) land in slots 0 and 1.
+            for slot in (0, 1):
+                pltpu.make_async_copy(
+                    wgu.at[slot], wgu_buf.at[slot], wgu_sem.at[slot]
+                ).start()
         if stream_down:
             # Prime the w_down double buffer: layers 0 and 1 (the prefill
             # pass's first two consumers); every later slice is fetched by
@@ -672,7 +732,7 @@ def _make_kernel(
         h_last = _decoder_pass(
             x_prefill, 0, B, 2, dcfg, eps,
             w_refs, s_refs, cos_ref, sin_ref, kv_k, kv_v,
-            wd_stream=wd_stream,
+            wd_stream=wd_stream, wgu_stream=wgu_stream,
         )
 
         def classify(h_last, i):
@@ -714,7 +774,7 @@ def _make_kernel(
             h_next = _decoder_pass(
                 x, i + 1, B, 1, dcfg, eps, w_refs, s_refs,
                 cos_ref, sin_ref, kv_k, kv_v,
-                wd_stream=wd_stream,
+                wd_stream=wd_stream, wgu_stream=wgu_stream,
             )
             return h_next, samples
 
@@ -732,12 +792,19 @@ def _make_kernel(
                 pltpu.make_async_copy(
                     wd.at[slot], wd_buf.at[slot], wd_sem.at[slot]
                 ).wait()
+        if stream_gu:
+            # Same drain for the w_gu ring (slices 0 and 1 back in flight).
+            for slot in (0, 1):
+                pltpu.make_async_copy(
+                    wgu.at[slot], wgu_buf.at[slot], wgu_sem.at[slot]
+                ).wait()
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "greedy", "interpret", "stream_down")
+    jax.jit,
+    static_argnames=("config", "greedy", "interpret", "stream_down", "stream_gu"),
 )
 def fused_decode_codebooks(
     qdec: dict,
@@ -751,6 +818,7 @@ def fused_decode_codebooks(
     greedy: bool,
     interpret: bool = False,
     stream_down: bool = False,
+    stream_gu: bool = False,
 ) -> jnp.ndarray:
     """Run the fused kernel; samples ALL ``N`` codebooks (c0 included) and
     returns ``[B, N]`` int32.
@@ -758,7 +826,12 @@ def fused_decode_codebooks(
     ``stream_down=True`` selects the streamed-``w_down`` variant (see the
     constants block): identical math and outputs, ~17 MB less scoped VMEM —
     the tier that fits a single B=16 program.  Requires an even layer
-    count (the 2-slot refill cycle's invariant)."""
+    count (the 2-slot refill cycle's invariant).
+
+    ``stream_gu=True`` (requires ``stream_down``) ALSO streams the fused
+    gate‖up matrix as per-layer column halves — another ~48 MB of scoped
+    VMEM freed, the tier that fits a single B=32 program.  Identical math
+    and outputs (column-half dots accumulate bitwise like the fused dot)."""
     dcfg = config.decoder
     N = config.audio_num_codebooks
     Va = config.audio_vocab_size
@@ -786,6 +859,8 @@ def fused_decode_codebooks(
         raise ValueError(
             f"stream_down requires an even decoder layer count, got {L}"
         )
+    if stream_gu and not stream_down:
+        raise ValueError("stream_gu requires stream_down (the B=32 tier)")
     # Past the double-buffer-validated batch the head buffer drops to one
     # slot (start-after-consume) — kept for oversized direct callers; the
     # shipped paths chunk at MAX_VALIDATED_B so this stays 2.  The streamed
@@ -793,7 +868,8 @@ def fused_decode_codebooks(
     # many times over.
     head_slots = 2 if (B <= MAX_VALIDATED_B or stream_down) else 1
     kernel = _make_kernel(
-        config, greedy, head_dtype, B, head_slots, head_scaled, stream_down
+        config, greedy, head_dtype, B, head_slots, head_scaled, stream_down,
+        stream_gu,
     )
     temp_v = jnp.broadcast_to(
         jnp.asarray(temperature, jnp.float32).reshape(-1), (B,)
@@ -818,6 +894,19 @@ def fused_decode_codebooks(
         # w_down stays in HBM; the kernel streams per-layer slices through
         # a 2-slot VMEM ring (scratch below).
         w_specs[_KERNEL_MATS.index("w_down")] = any_
+    if stream_gu:
+        # w_gu stays in HBM too, re-laid-out as 2L half-slices [Dd, F]:
+        # slice 2l = layer l's gate columns, 2l+1 = its up columns (the
+        # ring order _decoder_pass consumes).
+        gi = _KERNEL_MATS.index("w_gu")
+        wgu_full = weights[gi]  # [L, Dd, 2F] int8
+        F_gu = wgu_full.shape[-1] // 2
+        weights[gi] = (
+            wgu_full.reshape(L, Dd, 2, F_gu)
+            .transpose(0, 2, 1, 3)
+            .reshape(2 * L, Dd, F_gu)
+        )
+        w_specs[gi] = any_
     in_specs = (
         [vm, vm, vm, vm]  # temp, topk, x0, c0 logits
         + w_specs
@@ -840,6 +929,16 @@ def fused_decode_codebooks(
         # half of it on the limit so the Mosaic stack allocator is never
         # the binding constraint below the physical ~118.7 MiB cap.
         vmem_bytes += 12 * 1024 * 1024
+    if stream_gu:
+        gi = _KERNEL_MATS.index("w_gu")
+        wgu_arr = weights[gi]
+        vmem_bytes -= int(wgu_arr.size * wgu_arr.dtype.itemsize)
+        F_gu = wgu_arr.shape[-1]
+        vmem_bytes += 2 * Dd * F_gu  # the int8 half-slice ring
+        # B=32 doubles the B-scaled stack again (the failed stream_down-
+        # only compile recorded 48 MB of spill slots); spend more of the
+        # freed w_gu residency on allocator headroom.
+        vmem_bytes += 24 * 1024 * 1024
     vmem_bytes += (
         head_slots * Dd * Va_pad * jnp.dtype(head_dtype).itemsize
     )  # head_buf
@@ -877,6 +976,15 @@ def fused_decode_codebooks(
                 pltpu.SemaphoreType.DMA((2,)),
             ]
             if stream_down
+            else []
+        ) + (
+            [
+                pltpu.VMEM(
+                    (2, Dd, qdec["w"]["w_gu"].shape[-1] // 2), jnp.int8
+                ),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if stream_gu
             else []
         ),
         compiler_params=pltpu.CompilerParams(
@@ -1108,11 +1216,12 @@ def decode_frame_fused(
     # ~40 % faster than two resident chunks since the 31-step serial
     # latency is paid once); past that, sequential chunks.
     cap = MAX_VALIDATED_B_1SLOT if "head_scale" in qdec else MAX_VALIDATED_B
-    stream_cap = (
-        MAX_VALIDATED_B_STREAMDOWN
-        if config.decoder.num_hidden_layers % 2 == 0
-        else cap
-    )
+    even_layers = config.decoder.num_hidden_layers % 2 == 0
+    stream_cap = MAX_VALIDATED_B_STREAMDOWN if even_layers else cap
+    # The stream-everything tier (w_gu also ringed out of VMEM) serves one
+    # program up to B=32; past it, sequential chunks of the largest
+    # validated program.
+    gu_cap = max(MAX_VALIDATED_B_STREAMGU, stream_cap) if even_layers else cap
 
     def one(x0, c0lg, gumbel, temp_b, topk_b):
         b = x0.shape[0]
@@ -1120,9 +1229,10 @@ def decode_frame_fused(
             qdec, config, x0, c0lg, gumbel, temp_b,
             topk=topk_b, greedy=greedy, interpret=interpret,
             stream_down=b > cap,
+            stream_gu=b > stream_cap,
         )  # [b, N]
 
-    if B <= stream_cap:
+    if B <= gu_cap:
         return one(x0, c0lg, gumbel, temp_b, topk_b)
     # Batches past the kernel's VMEM-validated caps split into sequential
     # chunks.  The noise table was built at full B
@@ -1133,8 +1243,8 @@ def decode_frame_fused(
     # cheaper than the XLA codebook loop, which re-reads the weights from
     # HBM on all 31 steps.
     outs = []
-    for s in range(0, B, stream_cap):
-        e = min(s + stream_cap, B)
+    for s in range(0, B, gu_cap):
+        e = min(s + gu_cap, B)
         outs.append(one(
             x0[s:e], c0lg[s:e], gumbel[:, s:e], temp_b[s:e], topk_b[s:e]
         ))

@@ -78,6 +78,7 @@ def main():
     from csm_tpu.models import csm
     from csm_tpu.ops.fused_decoder import (
         MAX_VALIDATED_B,
+        MAX_VALIDATED_B_STREAMDOWN,
         emulate_decode_codebooks,
         fused_decode_codebooks,
         prepare_fused_decoder,
@@ -107,6 +108,7 @@ def main():
             lambda q, x, c, g, _greedy=greedy: fused_decode_codebooks(
                 q, config, x, c, g, 1.0, topk=50, greedy=_greedy,
                 stream_down=x.shape[0] > MAX_VALIDATED_B,
+                stream_gu=x.shape[0] > MAX_VALIDATED_B_STREAMDOWN,
             )
         )
     emu_fn = {}

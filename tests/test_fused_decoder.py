@@ -286,6 +286,66 @@ def test_streamdown_kernel_matches_resident(setup):
         np.testing.assert_array_equal(np.asarray(res), np.asarray(stream))
 
 
+def test_streamgu_kernel_matches_resident(setup):
+    """The stream-everything variant (w_gu halves ALSO ringed from HBM —
+    the B=32 single-program tier) is bit-identical to the resident kernel
+    for sampled and greedy draws: the gate/up column-half dots accumulate
+    exactly like the fused dot's column halves."""
+    config, params, qdec, *_ = setup
+    B = fd.MAX_VALIDATED_B_STREAMDOWN + 2
+    N, Va = config.audio_num_codebooks, config.audio_vocab_size
+    x0 = jax.random.normal(
+        jax.random.key(61), (B, config.decoder.hidden_size), jnp.float32
+    )
+    c0_logits = jax.random.normal(
+        jax.random.key(62), (B, Va), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    gumbel = jax.random.gumbel(jax.random.key(63), (N, B, Va), jnp.float32)
+    for greedy in (False, True):
+        g = jnp.zeros_like(gumbel) if greedy else gumbel
+        res = fd.fused_decode_codebooks(
+            qdec, config, x0, c0_logits, g, 0.8, topk=5, greedy=greedy,
+            interpret=True,
+        )
+        stream = fd.fused_decode_codebooks(
+            qdec, config, x0, c0_logits, g, 0.8, topk=5, greedy=greedy,
+            interpret=True, stream_down=True, stream_gu=True,
+        )
+        np.testing.assert_array_equal(np.asarray(res), np.asarray(stream))
+    # stream_gu without stream_down is a usage error.
+    with pytest.raises(ValueError, match="stream_gu requires stream_down"):
+        fd.fused_decode_codebooks(
+            qdec, config, x0, c0_logits, gumbel, 0.8, topk=5, greedy=False,
+            interpret=True, stream_gu=True,
+        )
+
+
+def test_streamgu_dispatch_single_program(setup):
+    """17..32-row batches route through ONE stream-everything program whose
+    rows bitwise equal their solo (resident) runs."""
+    config, params, qdec, *_ = setup
+    B = fd.MAX_VALIDATED_B_STREAMDOWN + 3
+    last_h = jax.random.normal(
+        jax.random.key(71), (B, config.backbone.hidden_size), jnp.float32
+    )
+    c0_logits = jax.random.normal(
+        jax.random.key(72), (B, config.audio_vocab_size), jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    keys = jax.random.split(jax.random.key(73), B)
+    out = fd.decode_frame_fused(
+        params, qdec, config, last_h, c0_logits, keys, 0.8, 5, False,
+        interpret=True,
+    )
+    solo = np.stack([
+        np.asarray(fd.decode_frame_fused(
+            params, qdec, config, last_h[b:b+1], c0_logits[b:b+1],
+            keys[b:b+1], 0.8, 5, False, interpret=True,
+        ))[0]
+        for b in range(B)
+    ])
+    np.testing.assert_array_equal(np.asarray(out), solo)
+
+
 def test_streamdown_dispatch_and_odd_layers(setup):
     """``decode_frame_fused`` routes 9..16-row batches through ONE streamed
     program whose rows bitwise equal their solo (resident) runs; an odd
