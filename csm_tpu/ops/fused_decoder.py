@@ -1215,13 +1215,21 @@ def decode_frame_fused(
     # streamed-w_down program (w_down leaves VMEM — identical math, and
     # ~40 % faster than two resident chunks since the 31-step serial
     # latency is paid once); past that, sequential chunks.
-    cap = MAX_VALIDATED_B_1SLOT if "head_scale" in qdec else MAX_VALIDATED_B
+    head_scaled = "head_scale" in qdec
+    cap = MAX_VALIDATED_B_1SLOT if head_scaled else MAX_VALIDATED_B
     even_layers = config.decoder.num_hidden_layers % 2 == 0
-    stream_cap = MAX_VALIDATED_B_STREAMDOWN if even_layers else cap
+    # The streamed tiers are hardware-validated ONLY with the int8 head
+    # (scripts/check_fused_hw.py 16/32 run head_bits=8; a bf16-head streamed
+    # program carries a 2x larger head buffer and has never been compiled
+    # against this backend's 118.7 MiB scoped-VMEM cap).  bf16-head batches
+    # past the resident cap therefore take the validated sequential-chunk
+    # path instead of an unproven single program.
+    streams_ok = even_layers and head_scaled
+    stream_cap = MAX_VALIDATED_B_STREAMDOWN if streams_ok else cap
     # The stream-everything tier (w_gu also ringed out of VMEM) serves one
     # program up to B=32; past it, sequential chunks of the largest
     # validated program.
-    gu_cap = max(MAX_VALIDATED_B_STREAMGU, stream_cap) if even_layers else cap
+    gu_cap = max(MAX_VALIDATED_B_STREAMGU, stream_cap) if streams_ok else cap
 
     def one(x0, c0lg, gumbel, temp_b, topk_b):
         b = x0.shape[0]

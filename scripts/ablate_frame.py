@@ -136,11 +136,14 @@ def main():
 
     from _bench_lib import record_check
 
+    # gated=False: this entry is a pure performance SNAPSHOT — there is no
+    # correctness assertion behind its ok flag (unlike the check_*_hw
+    # entries, whose ok is a real gate).
     record_check(
         f"frame_ablation_B{B}"
         + ("_sb" if args.streamed else "")
         + ("" if args.head_bits == 16 else f"_h{args.head_bits}"),
-        True,
+        True, gated=False,
         bb_ms=float(t_bb), dec_ms=float(t_dec), frame_ms=float(t_frame),
         agg_frames_per_s=float(B / t_frame * 1000.0),
     )

@@ -5,6 +5,7 @@ in-program timing of the kernel alone (scan-amortized)."""
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 import time
@@ -114,18 +115,20 @@ def main():
 
     # The pure-JAX emulator's chunk-unrolled program grows with B and trips
     # the remote-compile tunnel's request-size limit at B=32 (HTTP 413) —
-    # its math is row-independent, so the emulator gate runs on the first
-    # Be rows (the kernel still runs and is timed at the full B).
-    Be = min(B, 16)
+    # its math is row-independent, so the emulator gate runs in row GROUPS
+    # of <=16 covering EVERY row (B=32 -> rows 0:16 and 16:32, so both
+    # halves of the grouped _attend_flat path get the near-tie gate; the
+    # kernel still runs and is timed at the full B).
+    groups = [(s, min(s + 16, B)) for s in range(0, B, 16)]
 
-    @jax.jit
-    def emu_logits(p, q, i, kc, vc):
+    @functools.partial(jax.jit, static_argnames=("s", "e"))
+    def emu_logits(p, q, i, kc, vc, s, e):
         # kc/vc ride as ARGUMENTS — closing over the cache would embed it
         # as a multi-MB program constant and trip the remote-compile
         # tunnel's request-size limit at large B.
-        h0_d = csm.embed_frames(p, config, i[:Be], mask[:Be])[:, 0, :]
+        h0_d = csm.embed_frames(p, config, i[s:e], mask[s:e])[:, 0, :]
         return emulate_bb_decode_step(
-            q, config, h0_d, cos_d[:Be], sin_d[:Be], bias_d[:Be], kc, vc
+            q, config, h0_d, cos_d[s:e], sin_d[s:e], bias_d[s:e], kc, vc
         )[1]
 
     # GATE: greedy c0 agreement kernel-vs-EMULATOR (same quantized weights,
@@ -136,7 +139,7 @@ def main():
     lg_rels, m_emu, m_bf16 = [], 0, 0
     n_draws = 4
     rows = n_draws * B
-    rows_emu = n_draws * Be
+    rows_emu = n_draws * B
     for d in range(n_draws):
         ids_d = jnp.zeros((B, 1, config.frame_width), jnp.int32).at[..., :-1].set(
             jnp.asarray(
@@ -147,22 +150,27 @@ def main():
         )
         lh_ref, lg_ref = xla_step(params, cache, ids_d)
         lh_q, lg_q = qsb_step(params, qsb, cache, ids_d)
-        lg_e = np.asarray(
-            emu_logits(params, qsb, ids_d, cache.k[:, :Be], cache.v[:, :Be]),
-            np.float64,
-        )
+        lg_e = np.concatenate([
+            np.asarray(
+                emu_logits(
+                    params, qsb, ids_d, cache.k[:, s:e], cache.v[:, s:e], s, e
+                ),
+                np.float64,
+            )
+            for s, e in groups
+        ])
         lg_ref = np.asarray(lg_ref, np.float64)
         lg_q = np.asarray(lg_q, np.float64)
         lg_rels.append(np.abs(lg_q - lg_ref).max() / (np.abs(lg_ref).max() + 1e-9))
         pick_q = np.argmax(lg_q, -1)
-        pick_e = np.argmax(lg_e, -1)  # Be rows (emulator cap above)
-        m_emu += int(np.sum(pick_q[:Be] == pick_e))
+        pick_e = np.argmax(lg_e, -1)  # all B rows (grouped calls above)
+        m_emu += int(np.sum(pick_q == pick_e))
         m_bf16 += int(np.sum(pick_q == np.argmax(lg_ref, -1)))
         # GATE: every kernel-vs-emulator flip must be a near-tie on the
         # emulator's own logits (a few bf16 ulps) — a real kernel bug
         # produces large gaps.  Random-init logits are tightly packed, so
         # flips themselves are expected, especially at B=8.
-        for b_i in np.nonzero(pick_q[:Be] != pick_e)[0]:
+        for b_i in np.nonzero(pick_q != pick_e)[0]:
             gap = float(lg_e[b_i, pick_e[b_i]] - lg_e[b_i, pick_q[b_i]])
             if not (abs(gap) < 0.05):
                 ok = False

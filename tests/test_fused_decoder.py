@@ -347,11 +347,14 @@ def test_streamgu_dispatch_single_program(setup):
 
 
 def test_streamdown_dispatch_and_odd_layers(setup):
-    """``decode_frame_fused`` routes 9..16-row batches through ONE streamed
-    program whose rows bitwise equal their solo (resident) runs; an odd
+    """``decode_frame_fused`` routes 9..16-row INT8-HEAD batches through ONE
+    streamed program whose rows bitwise equal their solo (resident) runs
+    (bf16-head bundles take the validated sequential-chunk path instead —
+    the streamed tiers are hardware-validated only at head_bits=8); an odd
     decoder layer count rejects stream_down (the 2-slot refill cycle
     invariant) and the dispatcher falls back to chunking."""
-    config, params, qdec, *_ = setup
+    config, params, _, *_ = setup
+    qdec = fd.prepare_fused_decoder(params, config, head_bits=8)
     B = fd.MAX_VALIDATED_B + 2
     last_h = jax.random.normal(
         jax.random.key(51), (B, config.backbone.hidden_size), jnp.float32
