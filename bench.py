@@ -84,6 +84,8 @@ def main():
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-codec", action="store_true")
     ap.add_argument("--skip-int4", action="store_true")
+    ap.add_argument("--skip-exact", action="store_true")
+    ap.add_argument("--overfit-steps", type=int, default=250)
     ap.add_argument(
         "--impl", choices=("fused", "xla", "streamed"), default="streamed",
         help="single-stream decode path: 'streamed' (default) = fused "
@@ -571,6 +573,155 @@ def main():
         mfu = 100.0 * (8.0 * n_mm_params * St + attn) / med_t / \
             (V5E_BF16_TFLOPS * 1e12)
         _emit("csm1b_train_mfu_pct", mfu, "%", mfu / 100.0)
+        # Free the train step's state (params + f32 Adam moments ≈ 11.6 GB)
+        # before the trained-weights section below re-trains from scratch.
+        state = m = step_fn = batch = None  # noqa: F841
+
+    # 8. EXACT tier + TRAINED-WEIGHTS fidelity.  The north-star contract
+    # (BASELINE.md:21-24) is >=125 frames/s WITH greedy token parity — and
+    # parity is only TESTABLE on sharpened logits (random-init argmaxes are
+    # near-ties everywhere; section 4's numbers are that floor, not tier
+    # quality).  The published weights are unreachable (zero-egress; probe
+    # re-run every round — ROADMAP), so this section uses the sanctioned
+    # proxy: overfit CSM-1B on-chip on a deterministic pattern until logits
+    # sharpen (csm_tpu.utils.overfit), then on THOSE weights measure
+    #   - the exact tier's throughput (streamed bf16 backbone kernel +
+    #     speculative decode — csm_tpu.ops.{bb_kernel bits=16, specdec}),
+    #     whose tokens are the bf16 XLA path's by construction,
+    #   - teacher-forced greedy agreement of exact/int8/int4 vs bf16 XLA
+    #     (exact must be 100%; int8/int4 get real fidelity numbers).
+    if on_tpu and not args.skip_exact:
+        print("EXACT tier: overfit-to-sharpness + trained agreement...",
+              file=sys.stderr)
+        import gc
+
+        from csm_tpu.generation import _next_frame_inputs, decode_frame
+        from csm_tpu.models.llama import KVCache
+        from csm_tpu.ops.bb_kernel import prepare_streamed_backbone
+        from csm_tpu.ops.fused_decoder import prepare_fused_decoder
+        from csm_tpu.utils.overfit import overfit, pattern_batch
+
+        gc.collect()
+        t_params = jax.jit(lambda k: csm.init_params(k, config, dtype))(
+            jax.random.key(3)
+        )
+        np.asarray(t_params["projection"])
+        t_params, ov_loss = overfit(
+            t_params, config, steps=args.overfit_steps
+        )
+        qsb16 = jax.jit(
+            lambda p: prepare_streamed_backbone(p, config, bits=16)
+        )(t_params)
+        qdec8t = jax.jit(
+            lambda p: prepare_fused_decoder(p, config, head_bits=8)
+        )(t_params)
+        np.asarray(qdec8t["head_scale"])
+
+        ids_e, mask_e = prompt(1)
+
+        def run_exact(max_new, key, use_exact=True):
+            frames, n = generate_compiled(
+                t_params, config, ids_e, mask_e, jnp.int32(S), key,
+                max_new_frames=max_new, temperature=1.0, topk=50,
+                greedy=True, stop_on_all_zeros=False, stop_mode="stream",
+                qdec=qdec8t if use_exact else None,
+                qsb=qsb16 if use_exact else None,
+                specdec=use_exact,
+            )
+            return frames, int(np.asarray(n).sum())
+
+        print("  exact-tier throughput...", file=sys.stderr)
+        _, tot = run_exact(args.frames, jax.random.key(1))
+        times = []
+        for i in range(args.reps):
+            t0 = time.time()
+            _, tot = run_exact(args.frames, jax.random.key(2 + i))
+            times.append(time.time() - t0)
+        med_e = sorted(times)[len(times) // 2]
+        fps_e = tot / med_e
+        _emit(
+            "csm1b_frames_per_sec_single_stream_exact", fps_e, "frames/s",
+            fps_e / BASELINE_FPS, reps=args.reps,
+            spread_pct=100.0 * (max(times) - min(times)) / med_e,
+            overfit_steps=args.overfit_steps, overfit_loss=float(ov_loss),
+            note="bf16-parity tier: streamed bf16 backbone kernel + "
+                 "speculative decode; tokens == bf16 XLA path's by "
+                 "construction (agreement line below)",
+        )
+
+        # Trained-weights teacher-forced agreement (same harness as
+        # section 4, on the sharpened params).
+        print("  trained-weights agreement...", file=sys.stderr)
+        qsb8t = jax.jit(
+            lambda p: prepare_streamed_backbone(p, config, bits=8)
+        )(t_params)
+        qsb4t = jax.jit(
+            lambda p: prepare_streamed_backbone(p, config, bits=4)
+        )(t_params)
+        Fh = min(args.frames, 24)
+        fx, _ = run_exact(Fh, jax.random.key(42), use_exact=False)
+        forced = np.asarray(fx)[0]
+        Fh = forced.shape[0]
+        cache_len_t = ((S + Fh + 127) // 128) * 128
+
+        @functools.partial(jax.jit, static_argnames=("mode",))
+        def tf_step_t(p, ids, mask, cache, qs_a, qd_a, mode):
+            out = csm.forward(
+                p, config, ids, mask, cache=cache,
+                qsb=qs_a if mode != "xla" else None,
+            )
+            frame = decode_frame(
+                p, config, out.last_hidden_state, out.logits, None,
+                1.0, 50, True,
+                qdec=qd_a if mode != "xla" else None,
+                specdec=mode == "exact",
+            )
+            top2 = jax.lax.top_k(out.logits, 2)[0]
+            return frame, out.cache, (top2[:, 0] - top2[:, 1]).min()
+
+        @jax.jit
+        def tf_prefill_t(p, ids, mask, cache):
+            return csm.forward(p, config, ids, mask, cache=cache,
+                               flash_prefill=True).cache
+
+        variants_t = [
+            ("xla", None, None), ("exact", qsb16, qdec8t),
+            ("int8", qsb8t, qdec8t), ("int4", qsb4t, qdec8t),
+        ]
+        results_t, min_gap = {}, np.inf
+        for mode, qs_v, qd_v in variants_t:
+            cache = KVCache.create(config.backbone, 1, cache_len_t, dtype=dtype)
+            cache = tf_prefill_t(t_params, ids_e, mask_e, cache)
+            frames_ = []
+            prev = jnp.asarray(forced[0][None])
+            for t in range(1, Fh):
+                ids_t, mask_t = _next_frame_inputs(config, prev)
+                frame, cache, gap = tf_step_t(
+                    t_params, ids_t, mask_t, cache, qs_v, qd_v,
+                    mode if mode in ("xla", "exact") else "quant",
+                )
+                frames_.append(np.asarray(frame))
+                if mode == "xla":
+                    min_gap = min(min_gap, float(gap))
+                prev = jnp.asarray(forced[t][None])
+            results_t[mode] = np.stack(frames_)
+        fr_x = results_t["xla"]
+        for mode in ("exact", "int8", "int4"):
+            fr_q = results_t[mode]
+            tok = 100.0 * float((fr_x == fr_q).mean())
+            c0a = 100.0 * float((fr_x[:, :, 0] == fr_q[:, :, 0]).mean())
+            metric = (
+                "csm1b_exact_teacher_forced_token_agreement_pct"
+                if mode == "exact"
+                else f"csm1b_quant_teacher_forced_token_agreement_pct_"
+                     f"{mode}_trained"
+            )
+            _emit(
+                metric, tok, "%", tok / 100.0, frames=int(Fh - 1),
+                c0_agreement_pct=c0a,
+                xla_min_c0_top2_gap=float(min_gap),
+                overfit_steps=args.overfit_steps,
+            )
 
 
 if __name__ == "__main__":

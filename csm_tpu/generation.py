@@ -96,6 +96,7 @@ def decode_frame(
     greedy: bool,
     qdec: Optional[dict] = None,
     greedy_rows: Optional[jnp.ndarray] = None,
+    specdec: bool = False,
 ) -> jnp.ndarray:
     """Sample all 32 codebooks of one frame (``modeling_csm.py:522-577``).
 
@@ -123,7 +124,20 @@ def decode_frame(
     # MAX_CHUNKED_B — beyond that fall back to the XLA path.
     from csm_tpu.ops.fused_decoder import MAX_CHUNKED_B as _qdec_max_b
 
-    if qdec is not None and B <= _qdec_max_b:
+    if specdec:
+        # EXACT tier: the int8 kernel only DRAFTS; one teacher-forced bf16
+        # XLA pass per round verifies, so the emitted tokens are the bf16
+        # path's own (ops.specdec).  Batches past the draft kernel's
+        # validated cap fall through to the plain XLA loop below — equally
+        # exact, just slower.
+        from csm_tpu.ops.specdec import MAX_SPECDEC_B, decode_frame_specdec
+
+        if qdec is not None and B <= MAX_SPECDEC_B:
+            return decode_frame_specdec(
+                params, qdec, config, last_h, c0_logits, rng,
+                temperature, topk, greedy, greedy_rows=greedy_rows,
+            )
+    elif qdec is not None and B <= _qdec_max_b:
         from csm_tpu.ops.fused_decoder import decode_frame_fused
 
         return decode_frame_fused(
@@ -210,6 +224,7 @@ def generate_frame(
     qbb: Optional[dict] = None,
     qsb: Optional[dict] = None,
     greedy_rows: Optional[jnp.ndarray] = None,
+    specdec: bool = False,
 ) -> csm.CSMOutput:
     """Generate one frame's 32 codebooks (reference
     ``generate_frame``, ``modeling_csm.py:484-589``).
@@ -234,6 +249,7 @@ def generate_frame(
     samples = decode_frame(
         params, config, out.last_hidden_state, out.logits,
         rng, temperature, topk, greedy, qdec=qdec, greedy_rows=greedy_rows,
+        specdec=specdec,
     )
     return csm.CSMOutput(
         last_hidden_state=out.last_hidden_state,
@@ -259,7 +275,7 @@ def _next_frame_inputs(config: CSMConfig, new_frame: jnp.ndarray):
     jax.jit,
     static_argnames=(
         "config", "max_new_frames", "topk", "greedy", "stop_on_all_zeros",
-        "stop_mode", "cache_len",
+        "stop_mode", "cache_len", "specdec",
     ),
 )
 def generate_compiled(
@@ -280,6 +296,7 @@ def generate_compiled(
     qdec: Optional[dict] = None,
     qbb: Optional[dict] = None,
     qsb: Optional[dict] = None,
+    specdec: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Whole-utterance generation as one device program: prefill + a
     ``while_loop`` of frame steps (reference loop: ``modeling_csm.py:640-690``).
@@ -302,7 +319,7 @@ def generate_compiled(
     out = generate_frame(
         params, config, input_ids, attention_mask,
         cache=cache, rng=k0, temperature=temperature, topk=topk, greedy=greedy,
-        true_len=true_len, flash_prefill=True, qdec=qdec,
+        true_len=true_len, flash_prefill=True, qdec=qdec, specdec=specdec,
     )
 
     frames_buf = jnp.zeros((B, max_new_frames, config.audio_num_codebooks), jnp.int32)
@@ -346,7 +363,7 @@ def generate_compiled(
         out = generate_frame(
             params, config, ids, mask,
             cache=cache, rng=k, temperature=temperature, topk=topk, greedy=greedy,
-            qdec=qdec, qbb=qbb, qsb=qsb,
+            qdec=qdec, qbb=qbb, qsb=qsb, specdec=specdec,
         )
         done, n_frames, frames_buf = process(
             out.samples, done, n_frames, frames_buf, step
@@ -400,6 +417,7 @@ def generate(
     qdec: Optional[dict] = None,
     qbb: Optional[dict] = None,
     qsb: Optional[dict] = None,
+    specdec: bool = False,
 ):
     """Reference-compatible ``generate`` (``modeling_csm.py:591-702``):
     returns ``[B, n_frames, 32]`` (possibly ``[B, 0, 32]``).
@@ -427,7 +445,7 @@ def generate(
         jnp.int32(S), rng,
         max_new_frames=max_new_frames, temperature=temperature, topk=topk,
         greedy=greedy, stop_on_all_zeros=stop_on_all_zeros, stop_mode=stop_mode,
-        qdec=qdec, qbb=qbb, qsb=qsb,
+        qdec=qdec, qbb=qbb, qsb=qsb, specdec=specdec,
     )
     n = int(np.max(np.asarray(n_frames))) if stop_mode == "stream" else int(n_frames[0])
     return np.asarray(frames)[:, :n, :]

@@ -41,6 +41,7 @@ class CSMModel:
         self.params = params
         self._using_kv_cache = False
         self._qdec = self._qbb = self._qsb = None
+        self._specdec = False
         self._fwd = jax.jit(
             lambda p, ids, mask, labels, k: csm.forward(
                 p, config, ids, mask, labels=labels, max_decoder_frames=k
@@ -140,6 +141,31 @@ class CSMModel:
         self._qsb = jax.jit(
             lambda p: prepare_streamed_backbone(p, cfg, bits=bits)
         )(self.params)
+        self._specdec = False
+        return self
+
+    def exact(self) -> "CSMModel":
+        """Prepare the EXACT fast tier: same tokens as the plain bf16 path,
+        ~3x its single-stream speed.  The backbone decode step rides the
+        streamed bf16 kernel (``ops.bb_kernel`` bits=16 — same weight
+        values, same rounding points as the XLA path), and the intra-frame
+        codebook loop runs speculative decode (``ops.specdec``): the int8
+        fused kernel only DRAFTS, one teacher-forced bf16 XLA pass per
+        round verifies, so emitted tokens are provably the bf16 path's own.
+        Returns ``self`` for chaining.  Mutually exclusive with
+        :meth:`quantize` (the later call wins)."""
+        from csm_tpu.ops.bb_kernel import prepare_streamed_backbone
+        from csm_tpu.ops.fused_decoder import prepare_fused_decoder
+
+        cfg = self.config
+        self._qdec = jax.jit(
+            lambda p: prepare_fused_decoder(p, cfg, head_bits=8)
+        )(self.params)
+        self._qbb = None  # W8A16 XLA layers would break exactness
+        self._qsb = jax.jit(
+            lambda p: prepare_streamed_backbone(p, cfg, bits=16)
+        )(self.params)
+        self._specdec = True
         return self
 
     def generate(self, input_ids, attention_mask, max_new_frames: int = 100,
@@ -151,6 +177,11 @@ class CSMModel:
         from csm_tpu.ops import bb_kernel, fused_decoder
 
         B = np.asarray(input_ids).shape[0]
+        qsb_cap = (
+            bb_kernel.MAX_VALIDATED_B_EXACT
+            if self._specdec
+            else bb_kernel.MAX_VALIDATED_B
+        )
         return generation.generate(
             self.params, self.config, input_ids, attention_mask,
             max_new_frames=max_new_frames, temperature=temperature, topk=topk,
@@ -158,7 +189,8 @@ class CSMModel:
             rng=rng, greedy=greedy, stop_mode=stop_mode,
             qdec=self._qdec if B <= fused_decoder.MAX_CHUNKED_B else None,
             qbb=self._qbb,
-            qsb=self._qsb if B <= bb_kernel.MAX_VALIDATED_B else None,
+            qsb=self._qsb if B <= qsb_cap else None,
+            specdec=self._specdec,
         )
 
     # -- persistence --------------------------------------------------------

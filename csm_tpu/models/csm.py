@@ -389,13 +389,18 @@ def forward(
     B, S, _ = input_ids.shape
     N = config.audio_num_codebooks
 
-    from csm_tpu.ops.bb_kernel import MAX_VALIDATED_B as _qsb_max_b
+    from csm_tpu.ops.bb_kernel import (
+        MAX_VALIDATED_B as _qsb_max_b,
+        MAX_VALIDATED_B_EXACT as _qsb_max_b_exact,
+    )
 
     if (
         qsb is not None
         and cache is not None
         and S == 1
-        and B <= _qsb_max_b  # hardware-validated batch cap (bb_kernel)
+        # hardware-validated batch caps (bb_kernel; the exact bf16 tier's
+        # larger ring entries are validated to a smaller B)
+        and B <= (_qsb_max_b_exact if "nw" in qsb else _qsb_max_b)
         and labels is None
         and not return_all_logits
         and positions is None

@@ -81,6 +81,11 @@ CHUNK_N = int(os.environ.get("CSM_BB_CHUNK_N", "2048"))
 # the scoped-VMEM budget: 3.02 ms/step, still ~1.5 ms under the XLA int8
 # path at that batch.
 MAX_VALIDATED_B = 32
+# Hardware-validated batch cap for the EXACT bf16 tier (bits=16): the ring
+# entries double in size (bf16), so the VMEM budget differs from int8 —
+# validated separately (scripts/check_bb_hw.py <B> <W> 16; KERNEL_CHECKS
+# bb_kernel_B*_exact: B=1 2.78 ms/step 86% HBM util, B=8 2.84 ms).
+MAX_VALIDATED_B_EXACT = 8
 
 
 # ---------------------------------------------------------------------------
@@ -185,6 +190,19 @@ def prepare_streamed_backbone(params: dict, config: CSMConfig, bits: int = 8) ->
     sampled token).  The returned bundle carries a ``"u"`` subtree; its
     pytree STRUCTURE is what tells :func:`bb_decode_step` to build the
     int4 kernel (a value leaf would be traced away under jit).
+
+    ``bits=16`` builds the **EXACT bf16 tier**: weights stay bf16 (only the
+    Q/K rotary-half column permutation is applied — a relabeling), NO norm
+    folding (the RMSNorm weights ship separately in an ``"nw"`` subtree and
+    the kernel applies them to the activations in the same order the XLA
+    path does), and the kernel mirrors the XLA bf16 decode path's rounding
+    discipline — every dot output and elementwise product is rounded to
+    bf16 exactly where ``models/llama.py`` rounds.  This is the
+    greedy-parity tier: same weight values, same rounding points as the
+    parity-tested XLA path (reference semantics:
+    ``/root/reference/modeling_csm.py:640-659``), at the streamed-kernel's
+    HBM-floor speed.  The ``"nw"`` subtree marks the bundle (pytree
+    structure is static under jit, like int4's ``"u"``).
     """
     bcfg = config.backbone
     nq, nkv, hd = bcfg.num_attention_heads, bcfg.num_key_value_heads, bcfg.head_dim
@@ -199,6 +217,40 @@ def prepare_streamed_backbone(params: dict, config: CSMConfig, bits: int = 8) ->
         if perm is not None:
             w = w[:, :, perm]
         return w
+
+    Va = config.audio_vocab_size
+    Va_pad = -(-Va // 128) * 128
+
+    if bits == 16:
+        # EXACT tier: the families are built WITHOUT the norm fold (folding
+        # would round the folded product to bf16, breaking weight-value
+        # identity with the XLA path).  Only the exact column permutation
+        # is applied.
+        out = {"w": {}, "nw": {}}
+        out["w"]["wqkv"] = jnp.concatenate(
+            [
+                folded("wq", None, _half_perm(nq, hd)),
+                folded("wk", None, _half_perm(nkv, hd)),
+                folded("wv"),
+            ],
+            axis=-1,
+        ).astype(jnp.bfloat16)
+        out["w"]["w_gu"] = jnp.concatenate(
+            [folded("w_gate"), folded("w_up")], axis=-1
+        ).astype(jnp.bfloat16)
+        out["w"]["wo"] = folded("wo").astype(jnp.bfloat16)
+        out["w"]["w_down"] = folded("w_down").astype(jnp.bfloat16)
+        head = params["codebook0_head"].astype(jnp.bfloat16)
+        out["w"]["head"] = jnp.pad(head, ((0, 0), (0, Va_pad - Va)))
+        # Norm weights ride as bf16-valued f32 vectors; the permuted-Q/K
+        # scale sections need no permutation (norms apply on the INPUT
+        # side, which is unpermuted).
+        out["nw"]["attn"] = attn_nw[:, None, :, 0]  # [L, 1, D] f32
+        out["nw"]["mlp"] = mlp_nw[:, None, :, 0]
+        out["final_norm"] = params["backbone"]["final_norm"].astype(
+            jnp.float32
+        )
+        return out
 
     fam = {
         "wqkv": jnp.concatenate(
@@ -226,10 +278,8 @@ def prepare_streamed_backbone(params: dict, config: CSMConfig, bits: int = 8) ->
         for name, w in fam.items():
             out["w"][name], out["s"][name] = quantize_per_channel(w)
     else:
-        raise ValueError(f"bits must be 4 or 8, got {bits}")
+        raise ValueError(f"bits must be 4, 8, or 16, got {bits}")
 
-    Va = config.audio_vocab_size
-    Va_pad = -(-Va // 128) * 128
     fnw = params["backbone"]["final_norm"].astype(jnp.float32)
     head = params["codebook0_head"].astype(jnp.float32) * fnw[:, None]
     hq, hs = quantize_per_channel(head)
@@ -289,6 +339,16 @@ def _rope_flat(x: jnp.ndarray, cos_f: jnp.ndarray, sin_f: jnp.ndarray) -> jnp.nd
 
 def _iota2(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _xla_rmsnorm(h: jnp.ndarray, nw: jnp.ndarray, eps: float, rnd) -> jnp.ndarray:
+    """The XLA path's RMSNorm (``models/llama.py:rmsnorm``) on a bf16-valued
+    f32 residual: f32 mean/rsqrt, round the normed vector to bf16 (the XLA
+    path's ``normed.astype(dtype)``), multiply by the bf16-valued norm
+    weight, round again (bf16 elementwise multiply) — two rounding points,
+    exactly where the XLA path rounds."""
+    var = jnp.mean(h * h, axis=-1, keepdims=True)
+    return rnd(rnd(h * jax.lax.rsqrt(var + eps)) * nw)
 
 
 def _perm_head_of_lane(n_lanes: int, H: int, hd: int, rows: int) -> jnp.ndarray:
@@ -454,13 +514,22 @@ def _layer_attention(
     nq: int,
     nkv: int,
     hd: int,
+    rnd=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """RoPE + window update + GQA attention for one layer; shared verbatim
     by the kernel and the emulator.  Returns ``(attn [B, nq*hd] standard
-    layout, k_new [B, nkv*hd] standard, v_new [B, nkv*hd])``."""
+    layout, k_new [B, nkv*hd] standard, v_new [B, nkv*hd])``.
+
+    ``rnd`` (EXACT bf16 tier): a bf16-rounding hook applied after RoPE —
+    the XLA path's ``apply_rope`` computes in f32 and casts back to the
+    bf16 activation dtype (``ops/rope.py:84-91``); this mirrors that cast.
+    """
     B = qkv.shape[0]
     q_roped = _rope_flat(qkv[:, : nq * hd], cos_qf, sin_qf)
     k_roped = _rope_flat(qkv[:, nq * hd : (nq + nkv) * hd], cos_kf, sin_kf)
+    if rnd is not None:
+        q_roped = rnd(q_roped)
+        k_roped = rnd(k_roped)
     k_new = _perm_to_std(k_roped, nkv, hd)  # [B, nkv*hd] standard (cache) order
     v_new = qkv[:, (nq + nkv) * hd :]
 
@@ -502,7 +571,8 @@ def _dims(config: CSMConfig, int4: bool = False):
 
 
 def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int,
-                 int4: bool = False, interpret: bool = False):
+                 int4: bool = False, interpret: bool = False,
+                 exact: bool = False):
     bcfg = config.backbone
     L = bcfg.num_hidden_layers
     D = bcfg.hidden_size
@@ -534,10 +604,15 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int,
             cos_kf_ref, sin_kf_ref,  # VMEM (B, nkv*hd) f32
             bias_ref,  # VMEM (B, Wp) f32 (pre-padded by the caller)
             fnw_ref,  # VMEM (1, D) f32
-            s_qkv, s_wo, s_gu, s_dn,  # VMEM f32 [L, 1, N]
-            s_head,  # VMEM f32 (1, Va_pad)
-        ) = refs[:12]
-        i = 12
+        ) = refs[:7]
+        i = 7
+        if exact:
+            nw_attn, nw_mlp = refs[i:i + 2]  # VMEM f32 [L, 1, D]
+            i += 2
+        else:
+            s_qkv, s_wo, s_gu, s_dn = refs[i:i + 4]  # VMEM f32 [L, 1, N]
+            s_head = refs[i + 4]  # VMEM f32 (1, Va_pad)
+            i += 5
         if int4:
             u_qkv, u_wo, u_gu, u_dn = refs[i:i + 4]  # VMEM f32 [L, 1, K]
             i += 4
@@ -685,6 +760,88 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int,
         cos_qf, sin_qf = cos_qf_ref[:], sin_qf_ref[:]
         cos_kf, sin_kf = cos_kf_ref[:], sin_kf_ref[:]
 
+        # EXACT tier's bf16-rounding hook.  Inside a compiled Mosaic kernel
+        # the convert pair is compiled literally (no excess-precision
+        # elision — see fused_decoder.bf16_round), so the astype spelling is
+        # the rounding op there; interpret mode lowers the body through XLA,
+        # where the pair CAN be elided, so it uses reduce_precision like the
+        # emulator (identical round-to-nearest-even values either way).
+        if interpret:
+            rnd = bf16_round
+        else:
+            rnd = lambda x: x.astype(jnp.bfloat16).astype(jnp.float32)  # noqa: E731
+
+        def layer_body_exact(l, h):
+            """XLA-bf16-path-mirroring layer: same weight values (no norm
+            fold, no scales) and a bf16 rounding at every point the XLA
+            decode path rounds (``models/llama.py:_layer`` with bf16
+            params) — dot outputs, RoPE casts, residual adds, the silu
+            chain.  The residual ``h`` is carried as bf16-valued f32."""
+            @pl.when(l + 1 < L)
+            def _():
+                kv_start(jax.lax.rem(l + 1, 2), l + 1)
+
+            # -- attention ----------------------------------------------
+            xn = _xla_rmsnorm(h, nw_attn[l], eps, rnd)
+            slot = slot_a(l, 0)
+            a_dma(l, 0, slot).wait()
+            qkv = rnd(_qdot(xn.astype(jnp.bfloat16), ring_w(ring_a, slot, QKVN)))
+            issue_next_a(l, 0, slot)
+
+            buf = jax.lax.rem(l, 2)
+            kv_wait(buf, l)
+
+            def write_row(k_row, v_row):
+                kbuf[buf, pl.ds(W, 1), :] = k_row
+                vbuf[buf, pl.ds(W, 1), :] = v_row
+
+            attn, k_new, v_new = _layer_attention(
+                qkv,
+                lambda: kbuf[buf],
+                lambda: vbuf[buf],
+                write_row, bias,
+                cos_qf, sin_qf, cos_kf, sin_kf, nq, nkv, hd,
+                rnd=rnd,
+            )
+            attn = rnd(attn)  # the XLA out-einsum emits bf16
+            nk_ref[l] = k_new.astype(jnp.bfloat16)
+            nv_ref[l] = v_new.astype(jnp.bfloat16)
+
+            slot = slot_a(l, 1)
+            a_dma(l, 1, slot).wait()
+            wo_out = rnd(_qdot(attn.astype(jnp.bfloat16), ring_w(ring_a, slot, D)))
+            issue_next_a(l, 1, slot)
+            h = rnd(h + wo_out)  # bf16 residual add
+
+            # -- MLP ------------------------------------------------------
+            xn = _xla_rmsnorm(h, nw_mlp[l], eps, rnd)
+            h_bf = xn.astype(jnp.bfloat16)
+            parts = []
+            for c in range(n_gu):
+                slot = slot_a(l, 2 + c)
+                a_dma(l, 2 + c, slot).wait()
+                acc = rnd(_qdot(h_bf, ring_w(ring_a, slot, chunk_gu)))
+                issue_next_a(l, 2 + c, slot)
+                parts.append(acc)
+            gu = jnp.concatenate(parts, axis=1)  # [B, 2F] bf16-valued f32
+            g, u = gu[:, :F], gu[:, F:]
+            # XLA's jax.nn.silu on bf16: logistic rounds to bf16, each
+            # multiply rounds to bf16.
+            gated = rnd(rnd(g * rnd(jax.nn.sigmoid(g))) * u)
+            gated_bf = gated.astype(jnp.bfloat16)
+            dn_acc = jnp.zeros((B, D), jnp.float32)
+            for r in range(n_dn):
+                slot = slot_b(l, r)
+                b_dma(l, r, slot).wait()
+                dn_acc = dn_acc + _qdot(
+                    gated_bf[:, r * chunk_dn : (r + 1) * chunk_dn],
+                    ring_w(ring_b, slot, D),
+                )
+                issue_next_b(l, r, slot)
+            # ONE rounding of the full-K dot output (row chunks summed raw
+            # in f32, as the MXU's internal f32 accumulation would).
+            return rnd(h + rnd(dn_acc))
+
         def layer_body(l, h):
             @pl.when(l + 1 < L)
             def _():
@@ -750,9 +907,23 @@ def _make_kernel(config: CSMConfig, B: int, W: int, Wp: int, depth: int,
                 issue_next_b(l, r, slot)
             return h + dn_acc * s_dn[l]
 
-        h = jax.lax.fori_loop(0, L, layer_body, h0_ref[:].astype(jnp.float32))
+        h = jax.lax.fori_loop(
+            0, L, layer_body_exact if exact else layer_body,
+            h0_ref[:].astype(jnp.float32),
+        )
 
         # -- final norm + c0 head ------------------------------------------
+        if exact:
+            # XLA: normed = rmsnorm(h, final_norm) -> bf16; logits =
+            # normed @ head (bf16 dot, bf16 out).
+            nh = _xla_rmsnorm(h, fnw_ref[0][None, :], eps, rnd)
+            nh_ref[:] = nh
+            slot = (L * epl) % depth
+            head_dma(slot).wait()
+            lg_ref[:] = rnd(
+                _qdot(nh.astype(jnp.bfloat16), ring_a[slot][:, :Va_pad])
+            )
+            return
         rs_f = _rms_scale(h, eps)
         nh_ref[:] = h * rs_f * fnw_ref[0][None, :]
         if int4:
@@ -799,22 +970,37 @@ def bb_decode_step(
     W = k_cache.shape[2]
     Wp = W + 8  # row W = new token; rows W+1.. masked padding
     C = B * nkv
-    # int4 (W4A16) bundle detection by pytree STRUCTURE: the "u"
-    # equilibration subtree only exists for bits=4 prepares.  Structure is
-    # static under jit, so the two modes compile to distinct programs.
+    # Bundle-mode detection by pytree STRUCTURE: the "u" equilibration
+    # subtree only exists for bits=4 prepares; the "nw" norm-weight subtree
+    # only for the bits=16 EXACT tier.  Structure is static under jit, so
+    # the modes compile to distinct programs.
     int4 = "u" in qsb
+    exact = "nw" in qsb
 
     # Ring depth: deepest that fits VMEM (two rings + two KV window
     # buffers), capped at 4 — measured at 1B/B=1: depth 3 = 1.394 ms/step,
     # 4 = 1.324 (with 2048-col chunks), 6 = 1.367 (deeper is WORSE: more
     # outstanding DMAs contend).
     dims = _dims(config, int4)
-    w_elt = 0.5 if int4 else 1
+    w_elt = 0.5 if int4 else (2 if exact else 1)
     ring_bytes = int((D * dims["a_cols"] + dims["chunk_dn"] * D) * w_elt)
     kv_bytes = 2 * 2 * Wp * C * hd * 2
+    # The EXACT tier's bf16 rings are 2x the int8 rings, so the depth
+    # heuristic must ALSO budget the B-scaled attention/merge temporaries
+    # (recomputed below for vmem_limit) or B=8 exact picks a depth whose
+    # rings alone leave no stack headroom.  The int8/int4 tiers keep the
+    # original budget — their depth choices are hardware-pinned.
+    Ba_d = min(B, 16) if B <= 16 else 8
+    extras = 0
+    if exact:
+        extras = (
+            3 * (Ba_d * nq) * (Ba_d * nkv * hd) * 4
+            + (nkv * hd) * (C * hd) * 4 * 2
+            + 8 * 1024 * 1024  # stack/scheduler slack
+        )
     depth = 2
     for d in (4, 3):
-        if d * ring_bytes + kv_bytes < 100 * 1024 * 1024:
+        if d * ring_bytes + kv_bytes + extras < 100 * 1024 * 1024:
             depth = d
             break
     env_depth = os.environ.get("CSM_BB_RING_DEPTH")
@@ -832,7 +1018,7 @@ def bb_decode_step(
         constant_values=NEG_INF,
     ).at[:, W].set(0.0)
 
-    kernel = _make_kernel(config, B, W, Wp, depth, int4, interpret)
+    kernel = _make_kernel(config, B, W, Wp, depth, int4, interpret, exact)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
 
@@ -846,23 +1032,34 @@ def bb_decode_step(
     # intermediates (qz / own-mask / out, each [B·nq, B·nkv·hd] f32) scale
     # with B², so the slack must grow with the batch or B=16 trips the
     # scoped-vmem allocator.  Past B=16 the attention runs in 8-stream
-    # groups (_attend_flat), so its temporaries are the group's — but the
-    # window-row merge (_merge_streams) still materializes a
-    # [nkv·hd, B·nkv·hd] one-hot tile that grows linearly with B.
+    # groups (_attend_flat), so its temporaries are ONE group's — the
+    # estimate below RELIES on Mosaic reusing the stack across the
+    # sequentially-unrolled groups (liveness invariant: group g's qz/own/
+    # out die before group g+1's are built; only the [gb*nq, hd] outputs
+    # survive into the final concatenate).  This held at B=32 but is
+    # liveness-fragile, so each additional group contributes an explicit
+    # slack term (its surviving output rows plus headroom for scheduler
+    # variance) rather than assuming perfect reuse.  The window-row merge
+    # (_merge_streams) additionally materializes a [nkv·hd, B·nkv·hd]
+    # one-hot tile that grows linearly with B.
     Ba = min(B, 16) if B <= 16 else 8
+    n_groups = 1 if B <= 16 else -(-B // 8)
     attn_tmp = 3 * (Ba * nq) * (Ba * nkv * hd) * 4
+    group_slack = (n_groups - 1) * (Ba * nq) * (Ba * nkv * hd) * 4
     merge_tmp = (nkv * hd) * (C * hd) * 4 * 2
     vmem_limit = (
-        depth * ring_bytes + kv_bytes + Va_pad * D + attn_tmp + merge_tmp
-        + 24 * 1024 * 1024
+        depth * ring_bytes + kv_bytes + Va_pad * D * max(1, int(w_elt))
+        + attn_tmp + merge_tmp + group_slack + 24 * 1024 * 1024
     )
 
     # int4 rings hold row-PACKED int8 bytes (half the rows) — see
-    # pack_int4_rows; the kernel bitcasts each chunk back to int4.
+    # pack_int4_rows; the kernel bitcasts each chunk back to int4.  The
+    # EXACT tier's rings hold bf16 weights directly.
     rdiv = 2 if int4 else 1
+    ring_dtype = jnp.bfloat16 if exact else jnp.int8
     scratch = [
-        pltpu.VMEM((depth, D // rdiv, dims["a_cols"]), jnp.int8),
-        pltpu.VMEM((depth, dims["chunk_dn"] // rdiv, D), jnp.int8),
+        pltpu.VMEM((depth, D // rdiv, dims["a_cols"]), ring_dtype),
+        pltpu.VMEM((depth, dims["chunk_dn"] // rdiv, D), ring_dtype),
         pltpu.VMEM((2, Wp, C * hd), jnp.bfloat16),
         pltpu.VMEM((2, Wp, C * hd), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((depth,)),
@@ -879,11 +1076,19 @@ def bb_decode_step(
             qsb["u"]["wqkv"], qsb["u"]["wo"], qsb["u"]["w_gu"],
             qsb["u"]["w_down"],
         )
+    if exact:
+        # Norm weights replace the per-channel scales (bf16-valued f32).
+        sn_args = (qsb["nw"]["attn"], qsb["nw"]["mlp"])
+    else:
+        sn_args = (
+            qsb["s"]["wqkv"], qsb["s"]["wo"], qsb["s"]["w_gu"],
+            qsb["s"]["w_down"], qsb["s"]["head"],
+        )
 
     nh, lg, nk, nv = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        in_specs=[vm] * (12 + len(u_args)) + [anyspec] * 7,
+        in_specs=[vm] * (7 + len(sn_args) + len(u_args)) + [anyspec] * 7,
         out_specs=(vm, vm, vm, vm),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
@@ -895,8 +1100,7 @@ def bb_decode_step(
         *rope_tables_flat(cos, sin, nq, nkv, hd),
         bias_p,
         qsb["final_norm"].reshape(1, D),
-        qsb["s"]["wqkv"], qsb["s"]["wo"], qsb["s"]["w_gu"], qsb["s"]["w_down"],
-        qsb["s"]["head"],
+        *sn_args,
         *u_args,
         qsb["w"]["wqkv"], qsb["w"]["wo"], qsb["w"]["w_gu"], qsb["w"]["w_down"],
         qsb["w"]["head"],
@@ -948,6 +1152,7 @@ def emulate_bb_decode_step(
     v_cache = v_cache.reshape(L, B, W, nkv * hd).astype(jnp.bfloat16)
 
     int4 = "u" in qsb
+    exact = "nw" in qsb
 
     def wmat(name, l=None):
         w = qsb["w"][name] if l is None else qsb["w"][name][l]
@@ -960,6 +1165,66 @@ def emulate_bb_decode_step(
         constant_values=NEG_INF,
     ).at[:, W].set(0.0)
     nk, nv = [], []
+
+    if exact:
+        # EXACT bf16 tier: mirror the kernel's layer_body_exact op-for-op
+        # (same chunk boundaries, same one-hot movements, same rounding
+        # points as the XLA bf16 decode path).  ``h0`` arrives bf16-valued
+        # (the embed-sum runs in the bf16 param dtype) — neither side
+        # re-rounds it.
+        rnd = bf16_round
+        for l in range(L):
+            xn = _xla_rmsnorm(h, qsb["nw"]["attn"][l], eps, rnd)
+            qkv = rnd(_qdot(xn.astype(jnp.bfloat16), wmat("wqkv", l)[:, :QKVN]))
+
+            row = {}
+
+            def write_row(k_row, v_row, _row=row):
+                _row["k"] = k_row
+                _row["v"] = v_row
+
+            base_k = k_cache[l].transpose(1, 0, 2).reshape(W, C * hd)
+            base_v = v_cache[l].transpose(1, 0, 2).reshape(W, C * hd)
+            zeros = jnp.zeros((Wp - W - 1, C * hd), jnp.bfloat16)
+            attn, k_new, v_new = _layer_attention(
+                qkv,
+                lambda: jnp.concatenate([base_k, row["k"], zeros]),
+                lambda: jnp.concatenate([base_v, row["v"], zeros]),
+                write_row, bias_p,
+                cos_qf, sin_qf, cos_kf, sin_kf, nq, nkv, hd,
+                rnd=rnd,
+            )
+            attn = rnd(attn)
+            nk.append(k_new.astype(jnp.bfloat16))
+            nv.append(v_new.astype(jnp.bfloat16))
+            h = rnd(h + rnd(_qdot(attn.astype(jnp.bfloat16), wmat("wo", l))))
+
+            xn = _xla_rmsnorm(h, qsb["nw"]["mlp"][l], eps, rnd)
+            h_bf = xn.astype(jnp.bfloat16)
+            parts = [
+                rnd(_qdot(h_bf, wmat("w_gu", l)[:, c * chunk_gu : (c + 1) * chunk_gu]))
+                for c in range(n_gu)
+            ]
+            gu = jnp.concatenate(parts, axis=1)
+            g, u = gu[:, :F], gu[:, F:]
+            gated = rnd(rnd(g * rnd(jax.nn.sigmoid(g))) * u)
+            gated_bf = gated.astype(jnp.bfloat16)
+            dn_acc = jnp.zeros((B, D), jnp.float32)
+            for r in range(n_dn):
+                dn_acc = dn_acc + _qdot(
+                    gated_bf[:, r * chunk_dn : (r + 1) * chunk_dn],
+                    wmat("w_down", l)[r * chunk_dn : (r + 1) * chunk_dn, :],
+                )
+            h = rnd(h + rnd(dn_acc))
+
+        nh = _xla_rmsnorm(h, qsb["final_norm"][None, :], eps, rnd)
+        logits = rnd(_qdot(nh.astype(jnp.bfloat16), qsb["w"]["head"]))
+        return (
+            nh,
+            logits[:, :Va],
+            jnp.stack(nk).reshape(L, B, nkv, hd),
+            jnp.stack(nv).reshape(L, B, nkv, hd),
+        )
     for l in range(L):
         rs = _rms_scale(h, eps)
         xq = h * qsb["u"]["wqkv"][l] if int4 else h

@@ -587,6 +587,7 @@ def _make_kernel(
     def kernel(
         temp_ref,  # VMEM (B, 1) f32 — per-row temperature
         topk_ref,  # VMEM (B, 1) int32 — per-row top-k
+        forced_ref,  # VMEM (B, N) int32 — forced token per slot, -1 = sample
         x0_ref,  # VMEM (B, Dd) f32 — proj(last_h)
         c0lg_ref,  # VMEM (B, Va_pad) f32 — backbone c0 logits (bf16-rounded)
         wqkv, wo, wgu, wd,  # VMEM int8 [L, K, N] (fused, norm-folded)
@@ -709,13 +710,23 @@ def _make_kernel(
         col = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1)
         vcol = jax.lax.broadcasted_iota(jnp.int32, (B, Va_pad), 1)
 
+        def apply_forced(ci, i):
+            """Override row samples whose ``forced`` slot is >= 0 (the
+            speculative-decode re-draft path: verified-prefix tokens are
+            pinned so later draft steps condition on the exact prefix).
+            ``i`` may be traced; column i is picked by a masked row-sum."""
+            fi = jnp.sum(jnp.where(col == i, forced_ref[:], 0), axis=1)
+            return jnp.where(fi >= 0, fi, ci)
+
         # c0: sampled IN-KERNEL from the backbone's logits — the semantics
         # (and, for bf16-rounded logits, the exact draw) of
         # ops.sampling.sample_topk with this frame's keys[0] noise.  Moving
         # it here takes the whole c0-sample -> embed -> prefill-build chain
         # off the XLA critical path (~0.5 ms of tiny serialized ops).
         lg0 = jnp.where(vcol < Va, c0lg_ref[:], NEG_INF)
-        c0 = _sample_row(lg0, gum_row(0), temp, topk, greedy)  # [B]
+        c0 = apply_forced(
+            _sample_row(lg0, gum_row(0), temp, topk, greedy), 0
+        )  # [B]
         samples0 = jnp.where(col == 0, c0[:, None], 0)
 
         # Decoder prefill: [proj(last_h); proj(embed(c0))] at positions 0..1
@@ -753,7 +764,9 @@ def _make_kernel(
             # the zero-padded vocab lanes out of contention.
             logits = logits.astype(jnp.bfloat16).astype(jnp.float32)
             logits = jnp.where(vcol < Va, logits, NEG_INF)
-            return _sample_row(logits, gum_row(i), temp, topk, greedy)
+            return apply_forced(
+                _sample_row(logits, gum_row(i), temp, topk, greedy), i
+            )
 
         def step(i, carry):  # i ∈ [1, N-2]: classify + advance the decoder
             h_last, samples = carry
@@ -819,9 +832,14 @@ def fused_decode_codebooks(
     interpret: bool = False,
     stream_down: bool = False,
     stream_gu: bool = False,
+    forced=None,  # [B, N] int32, -1 = sample (specdec re-draft); dynamic
 ) -> jnp.ndarray:
     """Run the fused kernel; samples ALL ``N`` codebooks (c0 included) and
     returns ``[B, N]`` int32.
+
+    ``forced``: per-slot token overrides (>= 0 pins the slot to that token,
+    -1 samples normally) — a DYNAMIC input, so the speculative-decode loop
+    re-drafts through the SAME compiled program every round.
 
     ``stream_down=True`` selects the streamed-``w_down`` variant (see the
     constants block): identical math and outputs, ~17 MB less scoped VMEM —
@@ -878,6 +896,11 @@ def fused_decode_codebooks(
         jnp.broadcast_to(jnp.asarray(topk, jnp.int32).reshape(-1), (B,)),
         1, Va,
     ).reshape(B, 1)
+    forced_v = (
+        jnp.full((B, N), -1, jnp.int32)
+        if forced is None
+        else jnp.asarray(forced, jnp.int32).reshape(B, N)
+    )
     hs = (
         qdec["head_scale"]
         if head_scaled
@@ -908,7 +931,7 @@ def fused_decode_codebooks(
         )
         w_specs[gi] = any_
     in_specs = (
-        [vm, vm, vm, vm]  # temp, topk, x0, c0 logits
+        [vm, vm, vm, vm, vm]  # temp, topk, forced, x0, c0 logits
         + w_specs
         + [vm] * len(_KERNEL_MATS)  # scales
         + [vm] * 2  # rope tables
@@ -994,6 +1017,7 @@ def fused_decode_codebooks(
     )(
         temp_v,
         topk_v,
+        forced_v,
         x0.astype(jnp.float32),
         c0_logits,
         *weights,
@@ -1021,6 +1045,7 @@ def emulate_decode_codebooks(
     topk,
     greedy: bool,
     return_logits: bool = False,
+    forced=None,  # [1, N] int32, -1 = sample (mirrors the kernel input)
 ) -> jnp.ndarray:
     """Pure-JAX replica of the kernel's exact arithmetic (same quantized
     weights, same fp32 accumulation, same bisection top-k, same in-kernel
@@ -1097,9 +1122,16 @@ def emulate_decode_codebooks(
         1, Va,
     ).reshape(1, 1)
 
+    if forced is None:
+        forced = jnp.full((1, N), -1, jnp.int32)
+    forced = jnp.asarray(forced, jnp.int32).reshape(1, N)
+
+    def apply_forced(ci, i):
+        return jnp.where(forced[:, i] >= 0, forced[:, i], ci)
+
     # c0: in-kernel sampling semantics (padded lanes masked, raw logits)
     lg0 = jnp.where(vcol < Va, c0_logits, NEG_INF)
-    c0 = _sample_row(lg0, gumbel[0], temp_v, topk_v, greedy)
+    c0 = apply_forced(_sample_row(lg0, gumbel[0], temp_v, topk_v, greedy), 0)
     x_prefill = jnp.concatenate(
         [x0.astype(jnp.float32), proj_emb_flat[c0[0]][None, :].astype(jnp.float32)],
         axis=0,
@@ -1122,7 +1154,9 @@ def emulate_decode_codebooks(
         logits = bf16_round(logits)
         logits = jnp.where(vcol < Va, logits, NEG_INF)
         all_logits.append(logits[0])
-        ci = _sample_row(logits, gumbel[i], temp_v, topk_v, greedy)
+        ci = apply_forced(
+            _sample_row(logits, gumbel[i], temp_v, topk_v, greedy), i
+        )
         samples.append(ci[0])
         x = proj_emb_flat[ci[0] + i * Va][None, :]
         kv_k, kv_v, h_last = dec_pass(kv_k, kv_v, x, i + 1, 1)
@@ -1135,6 +1169,34 @@ def emulate_decode_codebooks(
 # ---------------------------------------------------------------------------
 # Frame-level wrapper (drop-in alternative to generation.decode_frame)
 # ---------------------------------------------------------------------------
+
+
+def build_frame_gumbel(config, rng, B: int, greedy: bool) -> jnp.ndarray:
+    """One frame's Gumbel-noise table ``[N, B, Va]`` — row ``i`` is codebook
+    ``i``'s noise, drawn from the SAME ``jax.random`` keys the XLA path
+    would consume (scalar ``rng`` = joint draws; ``[B]`` key array =
+    per-stream draws, each row identical to its solo run).  Shared by the
+    fused kernel and the speculative-decode verify loop so a frame's draws
+    are fixed once per frame regardless of how many draft rounds run."""
+    N = config.audio_num_codebooks
+    Va = config.audio_vocab_size
+    if rng is None:
+        rng = jax.random.key(0)
+    per_stream = jnp.ndim(rng) > 0
+    if greedy:
+        return jnp.zeros((N, B, Va), jnp.float32)
+    if per_stream:
+        keys_b = jax.vmap(lambda k: jax.random.split(k, N))(rng)  # [B, N]
+        # Row b draws from its own key stream — identical to the B=1
+        # per-stream path (gumbel(k, (1, Va)) rows).
+        gumbel = jax.vmap(
+            jax.vmap(lambda k: jax.random.gumbel(k, (1, Va), jnp.float32)[0])
+        )(keys_b)  # [B, N, Va]
+        return jnp.swapaxes(gumbel, 0, 1)  # [N, B, Va]
+    keys = jax.random.split(rng, N)
+    return jax.vmap(
+        lambda k: jax.random.gumbel(k, (B, Va), jnp.float32)
+    )(keys)
 
 
 def decode_frame_fused(
@@ -1150,6 +1212,7 @@ def decode_frame_fused(
     *,
     interpret: Optional[bool] = None,
     greedy_rows: Optional[jnp.ndarray] = None,
+    forced: Optional[jnp.ndarray] = None,  # [B, N] int32, -1 = sample
 ) -> jnp.ndarray:
     """Sample one frame's 32 codebooks per stream using the fused kernel.
 
@@ -1178,24 +1241,7 @@ def decode_frame_fused(
     N = config.audio_num_codebooks
     Va = config.audio_vocab_size
 
-    if rng is None:
-        rng = jax.random.key(0)
-    per_stream = jnp.ndim(rng) > 0
-    if greedy:
-        gumbel = jnp.zeros((N, B, Va), jnp.float32)
-    elif per_stream:
-        keys_b = jax.vmap(lambda k: jax.random.split(k, N))(rng)  # [B, N]
-        # Row b draws from its own key stream — identical to the B=1
-        # per-stream path (gumbel(k, (1, Va)) rows).
-        gumbel = jax.vmap(
-            jax.vmap(lambda k: jax.random.gumbel(k, (1, Va), jnp.float32)[0])
-        )(keys_b)  # [B, N, Va]
-        gumbel = jnp.swapaxes(gumbel, 0, 1)  # [N, B, Va]
-    else:
-        keys = jax.random.split(rng, N)
-        gumbel = jax.vmap(
-            lambda k: jax.random.gumbel(k, (B, Va), jnp.float32)
-        )(keys)
+    gumbel = build_frame_gumbel(config, rng, B, greedy)
 
     # Per-row parameter vectors (dynamic kernel inputs).
     temp_b = jnp.broadcast_to(
@@ -1231,17 +1277,25 @@ def decode_frame_fused(
     # validated program.
     gu_cap = max(MAX_VALIDATED_B_STREAMGU, stream_cap) if streams_ok else cap
 
-    def one(x0, c0lg, gumbel, temp_b, topk_b):
+    N_cb = config.audio_num_codebooks
+    forced_b = (
+        jnp.full((B, N_cb), -1, jnp.int32)
+        if forced is None
+        else jnp.asarray(forced, jnp.int32).reshape(B, N_cb)
+    )
+
+    def one(x0, c0lg, gumbel, temp_b, topk_b, forced_b):
         b = x0.shape[0]
         return fused_decode_codebooks(
             qdec, config, x0, c0lg, gumbel, temp_b,
             topk=topk_b, greedy=greedy, interpret=interpret,
             stream_down=b > cap,
             stream_gu=b > stream_cap,
+            forced=forced_b,
         )  # [b, N]
 
     if B <= gu_cap:
-        return one(x0, c0lg, gumbel, temp_b, topk_b)
+        return one(x0, c0lg, gumbel, temp_b, topk_b, forced_b)
     # Batches past the kernel's VMEM-validated caps split into sequential
     # chunks.  The noise table was built at full B
     # above, so every row's draw is bitwise what the joint/per-stream XLA
@@ -1254,6 +1308,7 @@ def decode_frame_fused(
     for s in range(0, B, gu_cap):
         e = min(s + gu_cap, B)
         outs.append(one(
-            x0[s:e], c0lg[s:e], gumbel[:, s:e], temp_b[s:e], topk_b[s:e]
+            x0[s:e], c0lg[s:e], gumbel[:, s:e], temp_b[s:e], topk_b[s:e],
+            forced_b[s:e],
         ))
     return jnp.concatenate(outs, axis=0)  # [B, N]

@@ -62,8 +62,17 @@ def make_optimizer(
 ) -> optax.GradientTransformation:
     """AdamW + HF-default linear decay schedule + global-norm clipping."""
     if warmup_steps > 0:
-        schedule = optax.schedules.warmup_linear_schedule(
-            0.0, learning_rate, warmup_steps, max(total_steps, warmup_steps + 1)
+        # Linear warmup to peak, then linear decay to zero (HF
+        # ``get_linear_schedule_with_warmup`` shape).
+        schedule = optax.schedules.join_schedules(
+            [
+                optax.schedules.linear_schedule(0.0, learning_rate, warmup_steps),
+                optax.schedules.linear_schedule(
+                    learning_rate, 0.0,
+                    max(total_steps - warmup_steps, 1),
+                ),
+            ],
+            [warmup_steps],
         )
     else:
         schedule = optax.schedules.linear_schedule(

@@ -38,6 +38,7 @@ def main():
     # forward-path dispatch to take the kernel at the B under test (else a
     # not-yet-validated B would silently measure the XLA fallback).
     bb_kernel.MAX_VALIDATED_B = max(bb_kernel.MAX_VALIDATED_B, B)
+    bb_kernel.MAX_VALIDATED_B_EXACT = max(bb_kernel.MAX_VALIDATED_B_EXACT, B)
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     bits = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     params = jax.jit(lambda k: csm.init_params(k, config, jnp.bfloat16))(
@@ -70,7 +71,16 @@ def main():
     # the same Mosaic-vs-XLA accumulation-order deltas (B=1 measured
     # 3.1e-2 worst element vs int8's 1.6e-2); the behavioral gates below
     # (greedy match + near-tie explanation) are unchanged.
-    rel_gate = 4e-2 if bits == 4 else 3e-2
+    # bits=16 (EXACT bf16 tier): the per-dot bf16 rounding QUANTIZES the
+    # Mosaic-vs-XLA accumulation-order noise — a sum landing within half a
+    # bf16 ulp of a rounding boundary rounds differently on the two
+    # backends, injecting a full-ulp (2^-8 relative) delta that 16 residual
+    # layers compound (measured 2.5e-2 worst element at B=1, i.e. the same
+    # scale as the int8 tier's raw noise).  Bit-exactness across the
+    # backends is NOT achievable for any kernel; the tier's parity contract
+    # is greedy agreement on real (sharpened) logits, pinned by
+    # scripts/train_agreement_hw.py on trained weights.
+    rel_gate = {4: 4e-2, 8: 3e-2, 16: 3e-2}[bits]
     for name, a, b in zip(("nh", "logits", "nk", "nv"), out_k, out_e):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         scale_ref = np.abs(b).max() + 1e-9
@@ -175,6 +185,21 @@ def main():
             if not (abs(gap) < 0.05):
                 ok = False
                 print(f"  draw {d} row {b_i}: flip NOT near-tie (gap {gap:+.4f})")
+        if bits == 16:
+            # EXACT tier: any greedy flip vs the bf16 XLA path must be a
+            # rounding-noise-scale gap on the XLA logits.  Random-init
+            # logits are tightly packed (top-2 gaps comparable to the
+            # compounded ulp noise above), so occasional flips here are
+            # EXPECTED; a real kernel bug produces O(1) gaps.  The 100%%
+            # parity claim is gated on sharpened logits by
+            # scripts/train_agreement_hw.py, not on random init.
+            pick_r = np.argmax(lg_ref, -1)
+            for b_i in np.nonzero(pick_q != pick_r)[0]:
+                gap = float(lg_ref[b_i, pick_r[b_i]] - lg_ref[b_i, pick_q[b_i]])
+                if not (abs(gap) < 0.15):
+                    ok = False
+                    print(f"  draw {d} row {b_i}: EXACT-tier flip vs bf16 "
+                          f"NOT rounding-noise scale (gap {gap:+.4f})")
     rel = max(lg_rels)
     # The bf16 comparison gates int8 only: int4's 16x-coarser weight grid
     # makes this rel ~0.9 on random-init weights BY DESIGN of the
@@ -183,6 +208,11 @@ def main():
     # the emulator rel gates above and the near-tie flip gate — still apply.
     if bits == 8:
         ok &= bool(rel < 0.15)
+    elif bits == 16:
+        # Compounded rounding-flip noise scale (see rel_gate note; worst
+        # observed 4.24e-2 at W=1024), far below the int8 tier's
+        # quantization envelope.
+        ok &= bool(rel < 6e-2)
     print(f"greedy c0 rows: kernel==emulator {m_emu}/{rows_emu} "
           f"(gate: flips near-tie explained), "
           f"kernel==bf16-XLA {m_bf16}/{rows} (quant-error context); "
@@ -204,7 +234,8 @@ def main():
     t_hi = timed(lambda: np.asarray(f(qsb, h0, kc, vc, 40)))
     t_lo = timed(lambda: np.asarray(f(qsb, h0, kc, vc, 5)))
     per = (t_hi - t_lo) / 35
-    print(f"bb kernel (B={B}, W={W}, W{bits}A16): {per:.3f} ms/step "
+    wlabel = "bf16-EXACT" if bits == 16 else f"W{bits}A16"
+    print(f"bb kernel (B={B}, W={W}, {wlabel}): {per:.3f} ms/step "
           f"(XLA int8 path was ~1.57 ms at W=256)")
     from _bench_lib import record_check
 
@@ -216,7 +247,8 @@ def main():
     print(f"bb kernel HBM-bandwidth utilization: {100*bw_util:.1f}% "
           f"({(wbytes+kvbytes)/2**30:.2f} GiB / {per:.2f} ms)")
     record_check(
-        f"bb_kernel_B{B}_W{W}" + ("" if bits == 8 else f"_int{bits}"),
+        f"bb_kernel_B{B}_W{W}"
+        + ("" if bits == 8 else ("_exact" if bits == 16 else f"_int{bits}")),
         ok, ms_per_step=float(per),
         hbm_bw_util_pct=float(100 * bw_util),
         c0_logit_rel_vs_bf16=float(rel),

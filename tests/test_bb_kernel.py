@@ -139,6 +139,85 @@ def test_int4_kernel_matches_emulator(setup4, B, W, partial):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
 
 
+@pytest.fixture(scope="module")
+def setup16():
+    """EXACT bf16 tier: bf16 params (the shipped inference dtype — the
+    tier's contract is against the bf16 XLA decode path)."""
+    cfg = CSMConfig.tiny()
+    params = csm.init_params(jax.random.key(0), cfg, jnp.bfloat16)
+    qsb16 = jax.jit(
+        lambda p: bk.prepare_streamed_backbone(p, cfg, bits=16)
+    )(params)
+    return cfg, params, qsb16
+
+
+@pytest.mark.parametrize("B,W,partial", [(1, 8, False), (2, 16, True)])
+def test_exact_kernel_matches_emulator(setup16, B, W, partial):
+    """EXACT bf16 tier: interpret-mode kernel is bit-exact against the
+    jitted emulator (same rounding points, same one-hot movements)."""
+    cfg, params, qsb16 = setup16
+    assert qsb16["w"]["wqkv"].dtype == jnp.bfloat16
+    assert "nw" in qsb16 and "s" not in qsb16
+    args = _inputs(cfg, B, W, seed=B + 20, partial_valid=partial)
+    out_k = bk.bb_decode_step(qsb16, cfg, *args, interpret=True)
+    emu = jax.jit(lambda q, *a: bk.emulate_bb_decode_step(q, cfg, *a))
+    out_e = emu(qsb16, *args)
+    for name, a, b in zip(("normed_h", "c0_logits", "new_k", "new_v"), out_k, out_e):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+@pytest.mark.parametrize("seed", [7, 11, 13])
+def test_exact_matches_bf16_path_greedy(setup16, seed):
+    """The EXACT tier's decode step reproduces the bf16 XLA path's greedy
+    c0 picks (the tier's whole point: north-star throughput WITH parity),
+    with logits agreeing to bf16-ulp scale — not the int8 tiers' ~15%
+    quantization envelope."""
+    cfg, params, qsb16 = setup16
+    B, W = 4, 16
+    rng = np.random.default_rng(seed)
+    ids = np.zeros((B, 1, cfg.frame_width), np.int32)
+    ids[..., :-1] = rng.integers(1, cfg.audio_vocab_size, (B, 1, 32))
+    mask = np.zeros((B, 1, cfg.frame_width), np.float32)
+    mask[..., :-1] = 1.0
+    cache = KVCache.create(cfg.backbone, B, W, dtype=jnp.bfloat16)
+    fill = W // 2
+    cache = cache.replace(
+        k=cache.k.at[:, :, :fill].set(
+            jnp.asarray(rng.standard_normal(cache.k[:, :, :fill].shape), jnp.bfloat16)
+        ),
+        v=cache.v.at[:, :, :fill].set(
+            jnp.asarray(rng.standard_normal(cache.v[:, :, :fill].shape), jnp.bfloat16)
+        ),
+        valid=cache.valid.at[:, :fill].set(True),
+        index=jnp.int32(fill),
+    )
+
+    ref = jax.jit(
+        lambda p, i, m, c: csm.forward(p, cfg, i, m, cache=c)
+    )(params, jnp.asarray(ids), jnp.asarray(mask), cache)
+    out = jax.jit(
+        lambda p, q, i, m, c: csm.forward(p, cfg, i, m, cache=c, qsb=q)
+    )(params, qsb16, jnp.asarray(ids), jnp.asarray(mask), cache)
+
+    ref_lg = np.asarray(ref.logits, np.float64)
+    lg = np.asarray(out.logits, np.float64)
+    rel = np.abs(lg - ref_lg).max() / (np.abs(ref_lg).max() + 1e-9)
+    assert rel < 2e-2, rel  # bf16-ulp scale, not quantization scale
+    assert (np.argmax(lg, -1) == np.argmax(ref_lg, -1)).all()
+
+    ref_h = np.asarray(ref.last_hidden_state, np.float64)
+    nh = np.asarray(out.last_hidden_state, np.float64)
+    rel_h = np.abs(nh - ref_h).max() / (np.abs(ref_h).max() + 1e-9)
+    assert rel_h < 2e-2, rel_h
+
+    # new K/V rows: the kernel rounds exactly where the XLA path casts, so
+    # the cache writes agree to bf16-ulp scale too.
+    new_k_ref = np.asarray(ref.cache.k)[:, :, fill].astype(np.float64)
+    new_k = np.asarray(out.cache.k)[:, :, fill].astype(np.float64)
+    rel_k = np.abs(new_k - new_k_ref).max() / (np.abs(new_k_ref).max() + 1e-9)
+    assert rel_k < 2e-2, rel_k
+
+
 def test_int4_pack_unpack_roundtrip():
     """pack_int4_rows / unpack_int4_rows are exact inverses over the full
     nibble range, including -8."""

@@ -296,7 +296,9 @@ def test_no_convert_pair_rounding_outside_kernels():
     allowed = {
         # In-kernel sites (Mosaic compiles converts literally):
         "ops/fused_decoder.py": 1,  # classify() inside the kernel body
-        "ops/bb_kernel.py": 1,      # the c0-head rounding inside the kernel
+        # the c0-head rounding + the EXACT tier's compiled-mode rnd hook,
+        # both inside the kernel body (interpret mode swaps in bf16_round):
+        "ops/bb_kernel.py": 2,
     }
     for f in sorted(root.rglob("*.py")):
         rel = str(f.relative_to(root))
