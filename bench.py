@@ -56,6 +56,9 @@ V5E_HBM_GBPS = 819.0  # peak HBM bandwidth, v5e
 V5E_BF16_TFLOPS = 197.0  # peak bf16 MXU throughput, v5e
 
 
+_ALL_LINES: list = []
+
+
 def _emit(metric, value, unit, vs_baseline, **extra):
     line = {
         "metric": metric,
@@ -66,6 +69,15 @@ def _emit(metric, value, unit, vs_baseline, **extra):
     for k, v in extra.items():
         line[k] = round(float(v), 2) if isinstance(v, float) else v
     print(json.dumps(line))
+    # Complete local artifact (the driver's BENCH_r{N}.json keeps only a
+    # truncated tail): scripts/gen_readme_perf.py regenerates the README
+    # perf table from this file so prose and capture can never drift.
+    _ALL_LINES.append(line)
+    try:
+        with open("BENCH_LOCAL.json", "w") as f:
+            json.dump(_ALL_LINES, f, indent=1)
+    except OSError:
+        pass
 
 
 def main():
@@ -500,26 +512,74 @@ def main():
             bw / V5E_HBM_GBPS, gb_per_s=bw, frame_ms=frame_ms,
         )
 
-    # 6. prefill MFU: first-frame latency minus one decode frame ≈ prefill
-    # time; model FLOPs = 2·N·S over the BACKBONE matmul params only (the
-    # decoder runs one frame, not S; the c0 head applies to one position).
-    if on_tpu and p50 is not None:
-        t_prefill = max(p50 - frame_ms, 1e-3) / 1000.0
+    # 6. prefill: ON-DEVICE cost, scan-amortized (round-4 verdict #4: the
+    # old "1.73% MFU" divided by a wall time that was ~85% tunnel dispatch
+    # — measure the prefill itself by amortizing several inside one
+    # program, like every kernel check).  Model FLOPs = 2·N·S over the
+    # BACKBONE matmul params (the decoder runs one frame, not S) +
+    # causal attention.
+    if on_tpu:
+        from csm_tpu.models.llama import KVCache
+
         bb = config.backbone
         bb_mm = sum(
             int(np.prod(x.shape))
             for x in jax.tree.leaves(params["backbone"]["layers"])
         )
-        attn_fwd = 2 * 2 * S * S * bb.num_attention_heads * bb.head_dim * \
-            bb.num_hidden_layers / 2  # causal half-square, qk + pv
-        flops = 2.0 * bb_mm * S + attn_fwd
-        mfu = 100.0 * flops / t_prefill / (V5E_BF16_TFLOPS * 1e12)
-        # NOTE: at the README recipe's 64-frame prompt the prefill is
-        # dispatch/launch-bound (~140 GFLOP in ~30 ms) — this is a latency
-        # number, not a compute-saturation one; the train-step MFU below is
-        # the long-sequence utilization figure.
-        _emit("csm1b_prefill_mfu_pct", mfu, "%", mfu / 100.0,
-              prefill_ms=t_prefill * 1000.0, prompt_frames=S)
+
+        def prefill_ms(Sp: int, n_hi: int = 8, n_lo: int = 2):
+            cache_len_p = ((Sp + 128 + 127) // 128) * 128
+            idsp = np.zeros((1, Sp, config.frame_width), np.int32)
+            idsp[..., -1] = rng.integers(1, config.text_vocab_size, (1, Sp))
+            maskp = np.zeros((1, Sp, config.frame_width), np.float32)
+            maskp[..., -1] = 1.0
+            idsj, maskj = jnp.asarray(idsp), jnp.asarray(maskp)
+
+            def scan_prefill(p, ids_a, mask_a, n):
+                cache = KVCache.create(config.backbone, 1, cache_len_p,
+                                       dtype=dtype)
+
+                def body(c, k):
+                    idv = ids_a.at[:, :, -1].add(k % 3)
+                    out = csm.forward(p, config, idv, mask_a, cache=cache,
+                                      flash_prefill=True)
+                    return c + out.logits.sum(), None
+
+                acc, _ = jax.lax.scan(body, jnp.float32(0),
+                                      jnp.arange(n, dtype=jnp.int32))
+                return acc
+
+            f = jax.jit(scan_prefill, static_argnames=("n",))
+            ts_hi, ts_lo = [], []
+            np.asarray(f(params, idsj, maskj, n_hi))  # compile
+            np.asarray(f(params, idsj, maskj, n_lo))
+            for _ in range(3):
+                t0 = time.time()
+                np.asarray(f(params, idsj, maskj, n_hi))
+                ts_hi.append(time.time() - t0)
+                t0 = time.time()
+                np.asarray(f(params, idsj, maskj, n_lo))
+                ts_lo.append(time.time() - t0)
+            return 1000.0 * (min(ts_hi) - min(ts_lo)) / (n_hi - n_lo)
+
+        for Sp, metric in ((S, "csm1b_prefill_mfu_pct"),
+                           (2048, "csm1b_prefill_ms_s2048")):
+            print(f"prefill S={Sp} (on-device, scan-amortized)...",
+                  file=sys.stderr)
+            per = prefill_ms(Sp)
+            attn_fwd = 2 * 2 * Sp * Sp * bb.num_attention_heads * \
+                bb.head_dim * bb.num_hidden_layers / 2
+            flops = 2.0 * bb_mm * Sp + attn_fwd
+            mfu = 100.0 * flops / (per / 1e3) / (V5E_BF16_TFLOPS * 1e12)
+            if metric == "csm1b_prefill_mfu_pct":
+                _emit(metric, mfu, "%", mfu / 100.0,
+                      prefill_ms=per, prompt_frames=Sp)
+            else:
+                # The reference's headline capability is the 2048-frame max
+                # context (~164 s of history); its prefill cost IS the
+                # long-prompt first-frame story.
+                _emit(metric, per, "ms", BASELINE_MS_PER_FRAME / per,
+                      mfu_pct=mfu, prompt_frames=Sp)
 
     # 7. full-context train step (flash VJP + remat, S=2048)
     if not args.skip_train and on_tpu:

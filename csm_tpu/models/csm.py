@@ -374,6 +374,7 @@ def forward(
     use_flash: bool = True,
     remat: bool = False,
     remat_policy: str = "nothing",
+    decoder_frame_sharding=None,
 ) -> CSMOutput:
     """Full forward pass with optional training losses
     (``modeling_csm.py:292-482``).
@@ -457,6 +458,23 @@ def forward(
         dec_in = jnp.concatenate(
             [(prev_h @ proj)[:, None, :], cb_emb @ proj], axis=1
         )  # [F, 1+N, Dd]
+
+        if decoder_frame_sharding is not None:
+            # Under a mesh, the gathered decoder frames lose the batch/seq
+            # sharding of the grid they came from (the [B*S] -> [F] gather
+            # flattens it), and the SPMD partitioner then materializes the
+            # decoder-loss activations REPLICATED — measured 532 MiB f32
+            # of MLP intermediates per device at 1B/S=2048/F=129, the
+            # single largest activation in the sequence-parallel train
+            # step (scripts/check_sp_memory.py).  The frames are
+            # independent rows, so constrain them to shard over the given
+            # mesh axes; everything downstream (decoder stack, heads, CE)
+            # inherits the F-axis sharding.
+            from jax.sharding import PartitionSpec
+
+            dec_in = jax.lax.with_sharding_constraint(
+                dec_in, PartitionSpec(decoder_frame_sharding, None, None)
+            )
 
         dec_hidden = decoder_forward_full(params, config, dec_in)
         cb_hidden = dec_hidden[:, 1:N, :]  # [F, N-1, Dd]

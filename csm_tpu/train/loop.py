@@ -93,6 +93,7 @@ def make_train_step(
     remat: bool = True,
     remat_policy: str = "auto",
     use_flash: bool = True,
+    decoder_frame_sharding=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -153,6 +154,9 @@ def make_train_step(
             use_flash=use_flash,
             remat=remat,
             remat_policy=policy,
+            # Mesh runs: shard the gathered decoder-loss frames (see
+            # csm.forward — they otherwise replicate per device).
+            decoder_frame_sharding=decoder_frame_sharding,
         )
         return out.loss, {
             "backbone_loss": out.backbone_loss,
@@ -298,6 +302,10 @@ class CSMTrainer:
             remat_policy=str(getattr(args, "gradient_checkpointing_policy",
                                      "nothing")),
             use_flash=self._seq == 1,
+            # Shard the gathered decoder-loss frames over the whole
+            # data x seq device grid (they replicate otherwise — the
+            # largest SP activation at 1B; scripts/check_sp_memory.py).
+            decoder_frame_sharding=("data", "seq"),
         )
 
         with self.mesh:

@@ -307,3 +307,45 @@ def test_no_convert_pair_rounding_outside_kernels():
             f"{rel}: {n} astype(bf16).astype(f32) convert pair(s) — use "
             "bf16_round (lax.reduce_precision) outside Pallas kernel bodies"
         )
+
+
+def test_readme_perf_generator_roundtrip(tmp_path):
+    """gen_readme_perf builds a table containing every known metric row and
+    rewrites exactly the marked README block (idempotent)."""
+    import importlib.util
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "gen_readme_perf", root / "scripts" / "gen_readme_perf.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    metrics = {
+        "csm1b_frames_per_sec_single_stream_exact": {
+            "metric": "csm1b_frames_per_sec_single_stream_exact",
+            "value": 150.0, "vs_baseline": 19.5, "reps": 5,
+        },
+        "csm1b_frames_per_sec_single_stream": {
+            "metric": "csm1b_frames_per_sec_single_stream",
+            "value": 260.0, "vs_baseline": 33.8,
+        },
+        "csm1b_exact_teacher_forced_token_agreement_pct": {
+            "metric": "csm1b_exact_teacher_forced_token_agreement_pct",
+            "value": 100.0, "vs_baseline": 1.0,
+        },
+    }
+    block = mod.build_block(metrics)
+    assert "EXACT bf16-parity tier" in block
+    assert "**150 frames/s**" in block
+    assert "EXACT tier 100 %" in block
+    assert block.startswith(mod.BEGIN) and block.endswith(mod.END)
+    # marker replacement is idempotent
+    readme = "head\n" + mod.BEGIN + "\nstale\n" + mod.END + "\ntail\n"
+    pre, rest = readme.split(mod.BEGIN, 1)
+    _, post = rest.split(mod.END, 1)
+    new = pre + block + post
+    assert new.startswith("head\n") and new.endswith("\ntail\n")
+    assert "stale" not in new
