@@ -48,6 +48,7 @@ class CSMStreamer:
         qdec: Optional[dict] = None,
         qbb: Optional[dict] = None,
         qsb: Optional[dict] = None,
+        specdec: bool = False,
     ):
         self.params = params
         self.config = config
@@ -71,14 +72,14 @@ class CSMStreamer:
             lambda p, ids, mask, tl, cache, key, qd: generate_frame(
                 p, config, ids, mask, cache=cache, rng=key,
                 temperature=temperature, topk=topk, greedy=greedy,
-                true_len=tl, flash_prefill=True, qdec=qd,
+                true_len=tl, flash_prefill=True, qdec=qd, specdec=specdec,
             )
         )
         self._step = jax.jit(
             lambda p, ids, mask, cache, key, qd, qb, qs: generate_frame(
                 p, config, ids, mask, cache=cache, rng=key,
                 temperature=temperature, topk=topk, greedy=greedy,
-                qdec=qd, qbb=qb, qsb=qs,
+                qdec=qd, qbb=qb, qsb=qs, specdec=specdec,
             )
         )
 
@@ -96,7 +97,7 @@ class CSMStreamer:
             lambda p, ids, mask, tl, cache, key, qd: generate_frame(
                 p, config, ids, mask, cache=cache, rng=key,
                 temperature=temperature, topk=topk, greedy=greedy,
-                true_len=tl, flash_prefill=False, qdec=qd,
+                true_len=tl, flash_prefill=False, qdec=qd, specdec=specdec,
             )
         )
 
@@ -294,6 +295,7 @@ class CSMServer:
         qbb: Optional[dict] = None,
         qsb: Optional[dict] = None,
         codec=None,
+        specdec: bool = False,
     ):
         self.params = params
         self.config = config
@@ -345,6 +347,7 @@ class CSMServer:
                 temperature=tv, topk=kv, greedy=greedy,
                 qdec=qd, qbb=qb, qsb=qs,
                 greedy_rows=None if greedy else gv,
+                specdec=specdec,
             )
         )
 
@@ -361,6 +364,7 @@ class CSMServer:
                     temperature=tv, topk=kv, greedy=greedy,
                     qdec=qd, qbb=qb, qsb=qs,
                     greedy_rows=None if greedy else gv,
+                    specdec=specdec,
                 )
                 return (out.cache, pair[:, 0], out.samples), out.samples
 
@@ -380,21 +384,21 @@ class CSMServer:
             lambda p, ids, mask, tl, cache, keys, qd: generate_frame(
                 p, config, ids, mask, cache=cache, rng=keys,
                 temperature=temperature, topk=topk, greedy=greedy,
-                true_len=tl, flash_prefill=True, qdec=qd,
+                true_len=tl, flash_prefill=True, qdec=qd, specdec=specdec,
             )
         )
         self._prefill_cont_u = jax.jit(
             lambda p, ids, mask, tl, cache, keys, qd: generate_frame(
                 p, config, ids, mask, cache=cache, rng=keys,
                 temperature=temperature, topk=topk, greedy=greedy,
-                true_len=tl, flash_prefill=False, qdec=qd,
+                true_len=tl, flash_prefill=False, qdec=qd, specdec=specdec,
             )
         )
         self._step_u = jax.jit(
             lambda p, ids, mask, cache, keys, qd, qb, qs: generate_frame(
                 p, config, ids, mask, cache=cache, rng=keys,
                 temperature=temperature, topk=topk, greedy=greedy,
-                qdec=qd, qbb=qb, qsb=qs,
+                qdec=qd, qbb=qb, qsb=qs, specdec=specdec,
             )
         )
 
@@ -406,7 +410,7 @@ class CSMServer:
                 out = generate_frame(
                     p, config, ids, mask, cache=cache, rng=pair[:, 1],
                     temperature=temperature, topk=topk, greedy=greedy,
-                    qdec=qd, qbb=qb, qsb=qs,
+                    qdec=qd, qbb=qb, qsb=qs, specdec=specdec,
                 )
                 return (out.cache, pair[:, 0], out.samples), out.samples
 
