@@ -74,7 +74,10 @@ def _emit(metric, value, unit, vs_baseline, **extra):
     # perf table from this file so prose and capture can never drift.
     _ALL_LINES.append(line)
     try:
-        with open("BENCH_LOCAL.json", "w") as f:
+        import os
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LOCAL.json")
+        with open(path, "w") as f:
             json.dump(_ALL_LINES, f, indent=1)
     except OSError:
         pass
@@ -514,63 +517,19 @@ def main():
 
     # 6. prefill: ON-DEVICE cost, scan-amortized (round-4 verdict #4: the
     # old "1.73% MFU" divided by a wall time that was ~85% tunnel dispatch
-    # — measure the prefill itself by amortizing several inside one
-    # program, like every kernel check).  Model FLOPs = 2·N·S over the
-    # BACKBONE matmul params (the decoder runs one frame, not S) +
-    # causal attention.
+    # — the shared harness in csm_tpu.utils.measure amortizes several
+    # prefills inside one program; scripts/check_prefill_hw.py uses the
+    # same code).
     if on_tpu:
-        from csm_tpu.models.llama import KVCache
-
-        bb = config.backbone
-        bb_mm = sum(
-            int(np.prod(x.shape))
-            for x in jax.tree.leaves(params["backbone"]["layers"])
-        )
-
-        def prefill_ms(Sp: int, n_hi: int = 8, n_lo: int = 2):
-            cache_len_p = ((Sp + 128 + 127) // 128) * 128
-            idsp = np.zeros((1, Sp, config.frame_width), np.int32)
-            idsp[..., -1] = rng.integers(1, config.text_vocab_size, (1, Sp))
-            maskp = np.zeros((1, Sp, config.frame_width), np.float32)
-            maskp[..., -1] = 1.0
-            idsj, maskj = jnp.asarray(idsp), jnp.asarray(maskp)
-
-            def scan_prefill(p, ids_a, mask_a, n):
-                cache = KVCache.create(config.backbone, 1, cache_len_p,
-                                       dtype=dtype)
-
-                def body(c, k):
-                    idv = ids_a.at[:, :, -1].add(k % 3)
-                    out = csm.forward(p, config, idv, mask_a, cache=cache,
-                                      flash_prefill=True)
-                    return c + out.logits.sum(), None
-
-                acc, _ = jax.lax.scan(body, jnp.float32(0),
-                                      jnp.arange(n, dtype=jnp.int32))
-                return acc
-
-            f = jax.jit(scan_prefill, static_argnames=("n",))
-            ts_hi, ts_lo = [], []
-            np.asarray(f(params, idsj, maskj, n_hi))  # compile
-            np.asarray(f(params, idsj, maskj, n_lo))
-            for _ in range(3):
-                t0 = time.time()
-                np.asarray(f(params, idsj, maskj, n_hi))
-                ts_hi.append(time.time() - t0)
-                t0 = time.time()
-                np.asarray(f(params, idsj, maskj, n_lo))
-                ts_lo.append(time.time() - t0)
-            return 1000.0 * (min(ts_hi) - min(ts_lo)) / (n_hi - n_lo)
+        from csm_tpu.utils.measure import prefill_flops, prefill_ms_on_device
 
         for Sp, metric in ((S, "csm1b_prefill_mfu_pct"),
                            (2048, "csm1b_prefill_ms_s2048")):
             print(f"prefill S={Sp} (on-device, scan-amortized)...",
                   file=sys.stderr)
-            per = prefill_ms(Sp)
-            attn_fwd = 2 * 2 * Sp * Sp * bb.num_attention_heads * \
-                bb.head_dim * bb.num_hidden_layers / 2
-            flops = 2.0 * bb_mm * Sp + attn_fwd
-            mfu = 100.0 * flops / (per / 1e3) / (V5E_BF16_TFLOPS * 1e12)
+            per = prefill_ms_on_device(params, config, Sp, dtype=dtype)
+            mfu = 100.0 * prefill_flops(params, config, Sp) / (per / 1e3) / \
+                (V5E_BF16_TFLOPS * 1e12)
             if metric == "csm1b_prefill_mfu_pct":
                 _emit(metric, mfu, "%", mfu / 100.0,
                       prefill_ms=per, prompt_frames=Sp)
@@ -705,8 +664,10 @@ def main():
             spread_pct=100.0 * (max(times) - min(times)) / med_e,
             overfit_steps=args.overfit_steps, overfit_loss=float(ov_loss),
             note="bf16-parity tier: streamed bf16 backbone kernel + "
-                 "speculative decode; tokens == bf16 XLA path's by "
-                 "construction (agreement line below)",
+                 "speculative decode; verify arbitrates every token against "
+                 "a teacher-forced bf16 pass (parity up to last-ulp "
+                 "accumulation ties; gated at 100% on sharpened logits — "
+                 "agreement line below)",
         )
 
         # Trained-weights teacher-forced agreement (same harness as

@@ -151,7 +151,11 @@ class CSMModel:
         values, same rounding points as the XLA path), and the intra-frame
         codebook loop runs speculative decode (``ops.specdec``): the int8
         fused kernel only DRAFTS, one teacher-forced bf16 XLA pass per
-        round verifies, so emitted tokens are provably the bf16 path's own.
+        round verifies, so every emitted token is arbitrated by a
+        teacher-forced bf16 pass (parity up to last-ulp accumulation ties
+        between the teacher-forced and incremental programs; gated at 100%
+        token agreement on sharpened logits — KERNEL_CHECKS
+        trained_agreement).
         Returns ``self`` for chaining.  Mutually exclusive with
         :meth:`quantize` (the later call wins)."""
         from csm_tpu.ops.bb_kernel import prepare_streamed_backbone

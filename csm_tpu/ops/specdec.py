@@ -8,7 +8,7 @@ kernel (:mod:`csm_tpu.ops.fused_decoder`) is 4x faster but quantized.  This
 module gets BOTH: the int8 kernel DRAFTS all 32 codebooks (weights
 VMEM-resident, ~2 ms), then ONE teacher-forced bf16 XLA pass over the whole
 frame VERIFIES them — reading the bf16 weights exactly ONCE (~0.5 ms).
-Accepted tokens are provably the bf16 path's own tokens:
+Accepted tokens are the bf16 verify pass's own tokens:
 
 - the verify pass computes, at every position ``i``, the bf16 decoder's
   logits GIVEN the draft prefix ``< i`` — for the verified prefix that IS
@@ -20,9 +20,12 @@ Accepted tokens are provably the bf16 path's own tokens:
   was verified), the tail is re-drafted with the exact prefix FORCED into
   the int8 kernel (a dynamic input — no recompile), and the loop repeats.
   Every round extends the verified prefix by >=1, so the loop terminates
-  in <=31 rounds and its output is IDENTICAL to running the bf16 XLA loop
-  alone — speculative decoding's standard exactness argument, applied
+  in <=31 rounds and its output is IDENTICAL to decoding with the verify
+  pass alone — speculative decoding's standard exactness argument, applied
   intra-frame (reference loop: ``/root/reference/modeling_csm.py:555-576``).
+  Parity with the INCREMENTAL per-step XLA loop is then an empirical
+  question of teacher-forced-vs-incremental last-ulp accumulation (see the
+  Numerics note below) — gated at 100% on sharpened logits, never assumed.
 
 Cost model (CSM-1B, one v5e): draft ~2.1 ms + verify ~0.5 ms per round;
 expected rounds = 1 + E[#draft mismatches].  On real (sharpened) weights the

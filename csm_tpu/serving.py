@@ -340,16 +340,22 @@ class CSMServer:
                 greedy_rows=None if greedy else gv,
             )
         )
-        self._step = jax.jit(
-            lambda p, ids, mask, cache, keys, qd, qb, qs, tv, kv, gv:
-            generate_frame(
-                p, config, ids, mask, cache=cache, rng=keys,
+        def _step1(p, ids, mask, cache, rngs, qd, qb, qs, tv, kv, gv):
+            # Key split lives INSIDE the jit: an eager vmap(split) is its
+            # own device program — a whole extra tunnel round-trip per
+            # serving step (~25 ms here; measured by the steady-state
+            # check's dispatch baseline).
+            pair = jax.vmap(jax.random.split)(rngs)
+            out = generate_frame(
+                p, config, ids, mask, cache=cache, rng=pair[:, 1],
                 temperature=tv, topk=kv, greedy=greedy,
                 qdec=qd, qbb=qb, qsb=qs,
                 greedy_rows=None if greedy else gv,
                 specdec=specdec,
             )
-        )
+            return out, pair[:, 0]
+
+        self._step = jax.jit(_step1)
 
         # Device-side multi-step loop: one dispatch advances every slot by
         # ``n`` frames (a lax.scan of the step body) — host round-trip cost
@@ -394,13 +400,16 @@ class CSMServer:
                 true_len=tl, flash_prefill=False, qdec=qd, specdec=specdec,
             )
         )
-        self._step_u = jax.jit(
-            lambda p, ids, mask, cache, keys, qd, qb, qs: generate_frame(
-                p, config, ids, mask, cache=cache, rng=keys,
+        def _step1_u(p, ids, mask, cache, rngs, qd, qb, qs):
+            pair = jax.vmap(jax.random.split)(rngs)  # see _step1
+            out = generate_frame(
+                p, config, ids, mask, cache=cache, rng=pair[:, 1],
                 temperature=temperature, topk=topk, greedy=greedy,
                 qdec=qd, qbb=qb, qsb=qs, specdec=specdec,
             )
-        )
+            return out, pair[:, 0]
+
+        self._step_u = jax.jit(_step1_u)
 
         def _steps_u(p, cache, rngs, last, qd, qb, qs, n):
             def body(carry, _):
@@ -769,16 +778,14 @@ class CSMServer:
                 return False
         active_before = list(self.active_slots)
         ids, mask = _next_frame_inputs(self.config, self._last)
-        pair = jax.vmap(jax.random.split)(self._rngs)  # [B, 2]
-        self._rngs = pair[:, 0]
         if self._uniform_active():
-            out = self._step_u(
-                self.params, ids, mask, self.cache, pair[:, 1],
+            out, self._rngs = self._step_u(
+                self.params, ids, mask, self.cache, self._rngs,
                 self._qdec, self._qbb, self._qsb,
             )
         else:
-            out = self._step(
-                self.params, ids, mask, self.cache, pair[:, 1],
+            out, self._rngs = self._step(
+                self.params, ids, mask, self.cache, self._rngs,
                 self._qdec, self._qbb, self._qsb,
                 jnp.asarray(self._temp_v), jnp.asarray(self._topk_v),
                 jnp.asarray(self._greedy_v),

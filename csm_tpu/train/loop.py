@@ -305,7 +305,11 @@ class CSMTrainer:
             # Shard the gathered decoder-loss frames over the whole
             # data x seq device grid (they replicate otherwise — the
             # largest SP activation at 1B; scripts/check_sp_memory.py).
-            decoder_frame_sharding=("data", "seq"),
+            # Only name axes the user's mesh actually has (a custom mesh
+            # without 'seq' is supported elsewhere in this class).
+            decoder_frame_sharding=tuple(
+                a for a in ("data", "seq") if a in dict(self.mesh.shape)
+            ) or None,
         )
 
         with self.mesh:

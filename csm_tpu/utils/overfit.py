@@ -104,6 +104,7 @@ def overfit(
 
     from csm_tpu.train.loop import TrainState, make_optimizer, make_train_step
 
+    steps = max(int(steps), 1)  # the final-metrics read requires >= 1 step
     opt = make_optimizer(lr, total_steps=steps, warmup_steps=min(20, steps // 5))
     step_fn = jax.jit(
         make_train_step(config, opt, batch * seq_len, remat=False),

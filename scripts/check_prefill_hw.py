@@ -45,45 +45,18 @@ def main():
     )
 
     sizes = [int(a) for a in sys.argv[1:]] or [64, 512, 2048]
-    rng = np.random.default_rng(0)
+    from csm_tpu.utils.measure import prefill_flops, prefill_ms_on_device
+
     ok_all = True
     for S in sizes:
-        cache_len = ((S + 128 + 127) // 128) * 128
-        ids = np.zeros((1, S, config.frame_width), np.int32)
-        ids[..., -1] = rng.integers(1, config.text_vocab_size, (1, S))
-        mask = np.zeros((1, S, config.frame_width), np.float32)
-        mask[..., -1] = 1.0
-        ids_j, mask_j = jnp.asarray(ids), jnp.asarray(mask)
-
-        def prefill_scan(p, ids_a, mask_a, n):
-            cache = KVCache.create(config.backbone, 1, cache_len,
-                                   dtype=jnp.bfloat16)
-
-            def body(c, k):
-                # vary the prompt per iteration (text column offset) so XLA
-                # cannot hoist the prefill out of the scan
-                idv = ids_a.at[:, :, -1].add(k % 3)
-                out = csm.forward(p, config, idv, mask_a, cache=cache,
-                                  flash_prefill=True)
-                return c + out.logits.sum(), None
-
-            acc, _ = jax.lax.scan(body, jnp.float32(0),
-                                  jnp.arange(n, dtype=jnp.int32))
-            return acc
-
-        f = jax.jit(prefill_scan, static_argnames=("n",))
-        n_hi, n_lo = (12, 2) if S <= 512 else (8, 2)
-        t_hi = timed(lambda: np.asarray(f(params, ids_j, mask_j, n_hi)))
-        t_lo = timed(lambda: np.asarray(f(params, ids_j, mask_j, n_lo)))
-        per = (t_hi - t_lo) / (n_hi - n_lo)  # ms per prefill, on-device
-
-        attn_fwd = 2 * 2 * S * S * bb.num_attention_heads * bb.head_dim * \
-            bb.num_hidden_layers / 2
-        flops = 2.0 * bb_mm * S + attn_fwd
+        per = prefill_ms_on_device(
+            params, config, S, dtype=jnp.bfloat16,
+            n_hi=12 if S <= 512 else 8,
+        )
+        flops = prefill_flops(params, config, S)
         mfu = 100.0 * flops / (per / 1e3) / (V5E_BF16_TFLOPS * 1e12)
         # Weight-read floor: prefill must stream the bf16 stack once.
-        wbytes = 2.0 * bb_mm
-        floor_ms = wbytes / 819e9 * 1e3
+        floor_ms = 2.0 * bb_mm / 819e9 * 1e3
         print(f"prefill S={S}: {per:.2f} ms on-device "
               f"(MFU {mfu:.1f}%, weight-read floor {floor_ms:.2f} ms)")
         ok = per > 0

@@ -41,8 +41,8 @@ def build_block(metrics: dict) -> str:
     if x:
         row(
             "single stream, **EXACT bf16-parity tier** (streamed bf16 "
-            "backbone kernel + speculative decode — tokens are the bf16 "
-            "XLA path's by construction)",
+            "backbone kernel + speculative decode — every token arbitrated "
+            "by a teacher-forced bf16 pass; 100 % agreement gated below)",
             f"**{x['value']:.0f} frames/s** ({fmt_rt(x['value'])}, "
             f"median of {x.get('reps', '?')})",
             f"**{x['vs_baseline']:.0f}×**",
