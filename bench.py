@@ -30,15 +30,26 @@ auditable:
 5. ``csm1b_decode_hbm_bw_util_pct`` — decode-step HBM bandwidth
    utilization: bytes the per-frame step must move (int8 weight bundles +
    KV window) over measured frame time, against v5e's 819 GB/s peak.
-6. ``csm1b_prefill_mfu_pct`` — prefill MFU (first-frame latency minus one
-   decode frame, against 197 bf16 TFLOP/s).
+6. ``csm1b_prefill_mfu_pct`` / ``csm1b_prefill_ms_s2048`` — ON-DEVICE
+   prefill cost (scan-amortized, ``csm_tpu.utils.measure``) at the README
+   prompt and at the 2048-frame max context, against 197 bf16 TFLOP/s.
 7. ``csm1b_train_step_s2048_ms`` / ``csm1b_train_mfu_pct`` — full-context
    (2048-frame) CSM-1B train step on the chip (flash-attention VJP +
    remat) and its model FLOPs utilization.
+8. ``csm1b_frames_per_sec_single_stream_exact`` +
+   ``csm1b_exact_teacher_forced_token_agreement_pct`` (+ int8/int4
+   ``_trained`` agreement lines) — the EXACT tier (streamed bf16 backbone
+   kernel + speculative decode) measured on weights sharpened by on-chip
+   training (``csm_tpu.utils.overfit``), where greedy parity is testable.
+
+Every emitted line is also appended to ``BENCH_LOCAL.json`` (complete
+artifact; ``scripts/gen_readme_perf.py`` regenerates the README table
+from it).
 
 Flags: ``--frames N`` (default 125), ``--prompt-frames N`` (default 64),
 ``--reps N`` (default 5), ``--tiny`` (debug), ``--skip-batch``,
 ``--skip-first-frame``, ``--skip-agreement``, ``--skip-train``,
+``--skip-exact``, ``--overfit-steps N``,
 ``--impl streamed|fused|xla`` (single-stream decode implementation).
 """
 

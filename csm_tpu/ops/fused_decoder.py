@@ -960,8 +960,12 @@ def fused_decode_codebooks(
         vmem_bytes += 2 * Dd * F_gu  # the int8 half-slice ring
         # B=32 doubles the B-scaled stack again (the failed stream_down-
         # only compile recorded 48 MB of spill slots); spend more of the
-        # freed w_gu residency on allocator headroom.
-        vmem_bytes += 24 * 1024 * 1024
+        # freed w_gu residency on allocator headroom.  The B=32 program's
+        # measured stack is scheduling-sensitive (99.24 MB inside a serving
+        # step_many scan vs ~93 MB standalone — the forced-token input +
+        # surrounding while/scan shifted liveness), so the allowance
+        # carries real margin; physical cap ~118.7 MiB still binds above.
+        vmem_bytes += 36 * 1024 * 1024
     vmem_bytes += (
         head_slots * Dd * Va_pad * jnp.dtype(head_dtype).itemsize
     )  # head_buf

@@ -72,6 +72,14 @@ def build_block(metrics: dict) -> str:
                 f"({fmt_rt(a['value'] / b)} per stream)",
                 f"**{a['vs_baseline']:.0f}×**",
             )
+    pf = m("csm1b_prefill_ms_s2048")
+    if pf:
+        row(
+            "max-context prefill (2048 frames ≈ 164 s of history, "
+            "on-device)",
+            f"**{pf['value']:.0f} ms** ({pf.get('mfu_pct', 0):.0f} % MFU)",
+            "—",
+        )
     ff = m("csm1b_first_frame_latency_ms")
     if ff:
         od = ff.get("on_device_ms")
