@@ -128,3 +128,31 @@ def test_specdec_full_codebook_count():
         p, cfg, h, lg, jax.random.key(1), 1.0, 5, True, qdec=q, specdec=True
     ))(params, qdec, last_h, c0lg)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_model_api_exact_generate():
+    """CSMModel.exact().generate equals the plain bf16 model's greedy
+    generation at tiny scale (the class-API wiring of the exact tier:
+    qsb16 backbone dispatch + specdec decode, interpret-mode on CPU)."""
+    import jax.numpy as jnp
+
+    from csm_tpu.model_api import CSMModel
+
+    cfg = CSMConfig.tiny(audio_num_codebooks=8)
+    params = csm.init_params(jax.random.key(0), cfg, jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    B, S = 1, 8
+    ids = np.zeros((B, S, cfg.frame_width), np.int32)
+    ids[..., -1] = rng.integers(1, cfg.text_vocab_size, (B, S))
+    mask = np.zeros((B, S, cfg.frame_width), np.float32)
+    mask[..., -1] = 1.0
+
+    plain = CSMModel(cfg, params).generate(
+        ids, mask, max_new_frames=3, greedy=True,
+        stop_on_all_zeros=False, rng=jax.random.key(7),
+    )
+    exact = CSMModel(cfg, params).exact().generate(
+        ids, mask, max_new_frames=3, greedy=True,
+        stop_on_all_zeros=False, rng=jax.random.key(7),
+    )
+    np.testing.assert_array_equal(exact, plain)
