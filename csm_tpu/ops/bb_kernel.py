@@ -999,7 +999,11 @@ def bb_decode_step(
             + 8 * 1024 * 1024  # stack/scheduler slack
         )
     depth = 2
-    for d in (4, 3):
+    # EXACT tier: depth 3 measured FASTER than 4 on hardware (2.60 vs
+    # 2.78 ms/step at B=1 W=256, 92.3% HBM util — the 21 MB bf16 ring
+    # entries make 4 outstanding DMAs contend; same "deeper is worse"
+    # effect the int8 notes above record past depth 4).
+    for d in ((3,) if exact else (4, 3)):
         if d * ring_bytes + kv_bytes + extras < 100 * 1024 * 1024:
             depth = d
             break
