@@ -198,6 +198,7 @@ def backbone_forward(
     use_flash: bool = True,
     remat: bool = False,
     remat_policy: str = "nothing",
+    sp_mesh=None,
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Embed-sum + backbone stack.  Returns full hidden ``[B, S, D]``.
 
@@ -220,7 +221,7 @@ def backbone_forward(
     0 — eligible shapes then use the Pallas flash kernel instead of
     materializing the ``[B, 1, 1, S, T]`` bias.
     """
-    from csm_tpu.ops.attention import flash_eligible
+    from csm_tpu.ops.attention import flash_eligible, sp_flash_eligible
 
     B, S, _ = input_ids.shape
     h = embed_frames(params, config, input_ids, attention_mask)
@@ -235,15 +236,32 @@ def backbone_forward(
     if cache is None:
         if positions is None:
             positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-        if use_flash and flash_eligible(S, S, hd):
+        bb = config.backbone
+        if sp_mesh is not None and dict(
+            zip(sp_mesh.axis_names, sp_mesh.devices.shape)
+        ).get("seq", 1) == 1:
+            sp_mesh = None  # no sequence sharding — ordinary dispatch
+        if use_flash and sp_flash_eligible(
+            sp_mesh, B, S, bb.num_attention_heads, bb.num_key_value_heads, hd
+        ):
+            # Sequence-parallel flash: the kernel runs under shard_map with
+            # a per-shard query offset (frame axis sharded over mesh "seq").
+            bias, flash_valid = None, frame_valid
+        elif use_flash and sp_mesh is None and flash_eligible(S, S, hd):
             bias, flash_valid = None, frame_valid
         else:
-            bias, flash_valid = llama.make_causal_bias(frame_valid, S), None
+            # Includes the SP-but-ineligible case: a pallas_call cannot be
+            # partitioned over the sharded frame axis, so fall back to XLA
+            # attention (the partitioner inserts the K/V all-gathers)
+            # rather than replicating the kernel.
+            bias, flash_valid, sp_mesh = (
+                llama.make_causal_bias(frame_valid, S), None, None,
+            )
         hidden, _ = llama.forward(
             params["backbone"], config.backbone, h,
             rope_table=rope, positions=positions, attn_bias=bias, cache=None,
             flash_key_valid=flash_valid, qlayers=qbb, remat=remat,
-            remat_policy=remat_policy,
+            remat_policy=remat_policy, sp_mesh=sp_mesh,
         )
         return hidden, None
 
@@ -375,6 +393,7 @@ def forward(
     remat: bool = False,
     remat_policy: str = "nothing",
     decoder_frame_sharding=None,
+    sp_mesh=None,
 ) -> CSMOutput:
     """Full forward pass with optional training losses
     (``modeling_csm.py:292-482``).
@@ -414,6 +433,7 @@ def forward(
         params, config, input_ids, attention_mask, cache=cache,
         positions=positions, flash_prefill=flash_prefill, qbb=qbb,
         use_flash=use_flash, remat=remat, remat_policy=remat_policy,
+        sp_mesh=sp_mesh,
     )
 
     head = params["codebook0_head"]

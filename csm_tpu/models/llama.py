@@ -174,6 +174,7 @@ def _layer(
     cache_index: Optional[jnp.ndarray] = None,
     flash_key_valid: Optional[jnp.ndarray] = None,
     qlayer: Optional[dict] = None,
+    sp_mesh=None,
 ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
     """One pre-norm transformer block.  If ``cache_kv`` is given, the new K/V
     rows are written at ``cache_index`` and attention runs over the full
@@ -182,6 +183,12 @@ def _layer(
     ``flash_key_valid`` selects the Pallas flash kernel (queries assumed to
     start at absolute position 0 — prefill/training) instead of the
     bias-masked XLA path.
+
+    ``sp_mesh`` (with ``flash_key_valid``): the frame axis is sharded over
+    this mesh's ``seq`` axis — attention runs the flash kernel under
+    ``shard_map`` with a per-shard query offset
+    (:func:`csm_tpu.ops.flash_attention.flash_attention_sp`); callers gate
+    on :func:`csm_tpu.ops.attention.sp_flash_eligible`.
 
     ``qlayer``: this layer's int8 weights+scales
     (:mod:`csm_tpu.ops.quant`); when given, the matmuls run W8A16 on the
@@ -216,14 +223,41 @@ def _layer(
 
     def attend(kk, vv):
         if flash_key_valid is not None:
-            from csm_tpu.ops.flash_attention import flash_attention
             from csm_tpu.ops.attention import pick_block
-
-            out = flash_attention(
-                q, kk.astype(q.dtype), vv.astype(q.dtype), flash_key_valid,
-                causal=True,
-                block_q=pick_block(S), block_k=pick_block(kk.shape[1]),
+            from csm_tpu.ops.flash_attention import (
+                flash_attention, flash_attention_sp,
             )
+
+            if sp_mesh is not None:
+                from functools import partial
+
+                from jax.sharding import PartitionSpec as P
+
+                seq = dict(
+                    zip(sp_mesh.axis_names, sp_mesh.devices.shape)
+                )["seq"]
+                fn = partial(
+                    flash_attention_sp, axis_name="seq",
+                    block_q=pick_block(S // seq),
+                    block_k=pick_block(kk.shape[1]),
+                    interpret=jax.default_backend() == "cpu",
+                )
+                qv = P("data", "seq", "model", None)
+                out = jax.shard_map(
+                    fn, mesh=sp_mesh,
+                    in_specs=(qv, qv, qv, P("data", "seq")),
+                    out_specs=qv,
+                    # pallas_call outputs carry no varying-mesh-axes
+                    # metadata, so the vma check cannot apply to them.
+                    check_vma=False,
+                )(q, kk.astype(q.dtype), vv.astype(q.dtype),
+                  flash_key_valid)
+            else:
+                out = flash_attention(
+                    q, kk.astype(q.dtype), vv.astype(q.dtype),
+                    flash_key_valid, causal=True,
+                    block_q=pick_block(S), block_k=pick_block(kk.shape[1]),
+                )
             # Named for the "dots" remat policy: saving this output keeps
             # the backward from re-running the flash forward per layer.
             out = jax.ad_checkpoint.checkpoint_name(out, "flash_attn_out")
@@ -302,6 +336,7 @@ def forward(
     qlayers: Optional[dict] = None,  # stacked int8 weights (ops.quant)
     remat: bool = False,
     remat_policy: str = "nothing",
+    sp_mesh=None,  # sequence-parallel mesh (see _layer)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the full stack via ``lax.scan`` over layers.
 
@@ -333,7 +368,8 @@ def forward(
         def body(h, xs):
             lp, ql = xs
             h, _ = _layer(h, lp, cos, sin, attn_bias, config,
-                          flash_key_valid=flash_key_valid, qlayer=ql)
+                          flash_key_valid=flash_key_valid, qlayer=ql,
+                          sp_mesh=sp_mesh)
             return h, None
 
         if remat:

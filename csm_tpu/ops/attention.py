@@ -56,3 +56,26 @@ def flash_eligible(q_len: int, kv_len: int, head_dim: int) -> bool:
         return True
     # auto: only on a real accelerator backend
     return jax.default_backend() not in ("cpu",)
+
+
+def sp_flash_eligible(mesh, batch: int, q_len: int, num_q_heads: int,
+                      num_kv_heads: int, head_dim: int) -> bool:
+    """Whether the sequence-parallel flash path
+    (:func:`csm_tpu.ops.flash_attention.flash_attention_sp` under
+    ``shard_map``) can handle this trace-time shape on this mesh.
+
+    Requires the canonical ``(data, seq, model)`` mesh axes
+    (:func:`csm_tpu.parallel.mesh.make_mesh`), every sharded dim divisible
+    by its axis, and the PER-SHARD query length to satisfy the kernel's
+    blocking (``kv_len`` is the gathered full sequence)."""
+    if mesh is None:
+        return False
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    seq = sizes.get("seq", 1)
+    if seq == 1 or not {"data", "model"} <= set(sizes):
+        return False
+    if q_len % seq or batch % sizes["data"]:
+        return False
+    if num_q_heads % sizes["model"] or num_kv_heads % sizes["model"]:
+        return False
+    return flash_eligible(q_len // seq, q_len, head_dim)

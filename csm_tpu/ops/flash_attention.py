@@ -69,25 +69,31 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9  # finite: fully-masked rows become uniform, not NaN
 
 
-def _j_last(i, bq: int, bk: int, n_kb: int, causal: bool):
-    """Index of the last key block row ``i`` must visit (the diagonal)."""
+def _j_last(i, bq: int, bk: int, n_kb: int, causal: bool, q_off=0):
+    """Index of the last key block row ``i`` must visit (the diagonal).
+
+    ``q_off`` is the absolute position of local query row 0 — 0 for
+    plain prefill/training, ``shard_index * S_local`` under sequence
+    parallelism (then a traced scalar, making the bound dynamic)."""
     if not causal:
         return n_kb - 1
-    return jnp.minimum(((i + 1) * bq - 1) // bk, n_kb - 1)
+    return jnp.minimum((q_off + (i + 1) * bq - 1) // bk, n_kb - 1)
 
 
-def _i_first(j, bq: int, bk: int, causal: bool):
+def _i_first(j, bq: int, bk: int, causal: bool, q_off=0):
     """Index of the first query block that can see key block ``j``."""
     if not causal:
         return 0
-    return (j * bk) // bq
+    return jnp.maximum(0, (j * bk - q_off) // bq)
 
 
-def _block_mask(i, j, valid_row, g: int, bq: int, bk: int, causal: bool):
+def _block_mask(i, j, valid_row, g: int, bq: int, bk: int, causal: bool,
+                q_off=0):
     """``[g*bq, bk]`` bool mask for score block (i, j): key validity and
-    (optionally) causality.  ``valid_row``: ``[bk]`` int key validity."""
+    (optionally) causality.  ``valid_row``: ``[bk]`` int key validity.
+    ``q_off``: absolute position of local query row 0 (see ``_j_last``)."""
     row = jax.lax.broadcasted_iota(jnp.int32, (g * bq, bk), 0)
-    q_pos = i * bq + jax.lax.rem(row, bq)
+    q_pos = q_off + i * bq + jax.lax.rem(row, bq)
     k_pos = j * bk + jax.lax.broadcasted_iota(jnp.int32, (g * bq, bk), 1)
     ok = valid_row[None, :] > 0
     if causal:
@@ -96,12 +102,10 @@ def _block_mask(i, j, valid_row, g: int, bq: int, bk: int, causal: bool):
 
 
 def _flash_kernel(
-    valid_ref,  # [1, 1, bk] int32 key validity
-    q_ref,      # [1, g, bq, hd] — the WHOLE GQA group of this kv head
-    k_ref,      # [1, 1, bk, hd]
-    v_ref,      # [1, 1, bk, hd]
-    o_ref,      # [1, g, bq, hd]
-    *rest,      # [lse_ref [1,1,g*bq,128] if with_lse,] m_scr, l_scr, acc_scr
+    *refs,      # [off_ref (1,) SMEM if with_offset,] valid_ref [1,1,bk],
+                # q_ref [1,g,bq,hd] (the WHOLE GQA group of this kv head),
+                # k_ref [1,1,bk,hd], v_ref [1,1,bk,hd], o_ref [1,g,bq,hd],
+                # [lse_ref [1,1,g*bq,128] if with_lse,] m_scr, l_scr, acc_scr
     scale: float,
     g: int,
     bq: int,
@@ -109,14 +113,21 @@ def _flash_kernel(
     n_kb: int,
     causal: bool,
     with_lse: bool,
+    with_offset: bool,
 ):
+    if with_offset:
+        off_ref, refs = refs[0], refs[1:]
+        q_off = off_ref[0]
+    else:
+        q_off = 0
+    valid_ref, q_ref, k_ref, v_ref, o_ref, *rest = refs
     if with_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
         m_scr, l_scr, acc_scr = rest
     i = pl.program_id(2)
     j = pl.program_id(3)
-    j_last = _j_last(i, bq, bk, n_kb, causal)
+    j_last = _j_last(i, bq, bk, n_kb, causal, q_off)
 
     @pl.when(j == 0)
     def _init():
@@ -139,7 +150,7 @@ def _flash_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [g*bq, bk]
 
-        ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal)
+        ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal, q_off)
         s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_scr[:, :1]  # [g*bq, 1]
@@ -180,6 +191,7 @@ def _flash_fwd_call(
     block_k: int,
     interpret: bool,
     with_lse: bool = False,
+    q_offset: Optional[jnp.ndarray] = None,  # scalar int32
 ):
     """Run the forward kernel.
 
@@ -187,7 +199,16 @@ def _flash_fwd_call(
     (needed only by the backward) is omitted from the primal kernel —
     Pallas outputs can't be DCE'd by XLA, and the lane-replicated LSE
     write would cost ~4× the attention output's own HBM bytes on every
-    inference/eval call."""
+    inference/eval call.
+
+    ``q_offset`` (sequence parallelism): the absolute position of query
+    row 0, a traced scalar.  Causality then bounds against
+    ``q_offset + s``.  The dynamic diagonal still PREDICATES the compute
+    (``pl.when`` on a bound read from SMEM) but cannot clamp the index
+    maps (they see only grid indices), so future blocks' K/V DMAs are not
+    elided.  That costs nothing in SPMD wall-clock: the lockstep critical
+    path is the LAST shard, whose causal triangle spans every key block
+    anyway; earlier shards merely fetch blocks they then skip."""
     B, S, nq, hd = q.shape
     T, nkv = k.shape[1], k.shape[2]
     assert S % block_q == 0 and T % block_k == 0, (S, T, block_q, block_k)
@@ -195,6 +216,7 @@ def _flash_fwd_call(
     n_qb = S // block_q
     n_kb = T // block_k
     scale = 1.0 / (hd ** 0.5)
+    with_offset = q_offset is not None
 
     # [B, 1, T]: the batch axis leads so the trailing block dims (1, bk)
     # satisfy Mosaic's tiling rule for any B (a (1, bk) block on a 2-D
@@ -209,12 +231,16 @@ def _flash_fwd_call(
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, g=g, bq=block_q, bk=block_k, n_kb=n_kb,
-        causal=causal, with_lse=with_lse,
+        causal=causal, with_lse=with_lse, with_offset=with_offset,
     )
 
     def jc(i, j):
         # Clamp strictly-future key blocks to the diagonal: Mosaic sees a
         # revisited block index and elides the DMA for skipped iterations.
+        # With a dynamic q_offset the diagonal is unknown to the index map
+        # — leave j unclamped (see the q_offset note above).
+        if with_offset:
+            return j
         return jnp.minimum(j, _j_last(i, block_q, block_k, n_kb, causal))
 
     grid = (B, nkv, n_qb, n_kb)
@@ -230,6 +256,10 @@ def _flash_fwd_call(
                      lambda b, h, i, j: (b, h, jc(i, j), 0),
                      memory_space=pltpu.VMEM),
     ]
+    call_args = [valid3, qt, kt, vt]
+    if with_offset:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        call_args.insert(0, jnp.asarray(q_offset, jnp.int32).reshape(1))
     out_specs = [
         pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
@@ -256,7 +286,7 @@ def _flash_fwd_call(
             pltpu.VMEM((g * block_q, hd), jnp.float32),
         ],
         interpret=interpret,
-    )(valid3, qt, kt, vt)
+    )(*call_args)
     if with_lse:
         out, lse = res
         # Compact the lane-replicated LSE for the residual (the backward
@@ -271,26 +301,29 @@ def _flash_fwd_call(
 
 
 def _flash_bwd_dq_kernel(
-    valid_ref,  # [1, 1, bk]
-    q_ref,      # [1, g, bq, hd]
-    k_ref,      # [1, 1, bk, hd]
-    v_ref,      # [1, 1, bk, hd]
-    do_ref,     # [1, g, bq, hd]
-    lse_ref,    # [1, 1, g*bq, 128] (lane-replicated)
-    delta_ref,  # [1, 1, g*bq, 128] (lane-replicated)
-    dq_ref,     # [1, g, bq, hd] out
-    dq_scr,     # [g*bq, hd] f32
-    *,
+    *refs,      # [off_ref (1,) SMEM if with_offset,] valid_ref [1,1,bk],
+                # q_ref [1,g,bq,hd], k_ref [1,1,bk,hd], v_ref [1,1,bk,hd],
+                # do_ref [1,g,bq,hd], lse_ref / delta_ref [1,1,g*bq,128]
+                # (lane-replicated), dq_ref [1,g,bq,hd] out,
+                # dq_scr [g*bq,hd] f32
     scale: float,
     g: int,
     bq: int,
     bk: int,
     n_kb: int,
     causal: bool,
+    with_offset: bool,
 ):
+    if with_offset:
+        off_ref, refs = refs[0], refs[1:]
+        q_off = off_ref[0]
+    else:
+        q_off = 0
+    (valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+     dq_ref, dq_scr) = refs
     i = pl.program_id(2)
     j = pl.program_id(3)
-    j_last = _j_last(i, bq, bk, n_kb, causal)
+    j_last = _j_last(i, bq, bk, n_kb, causal, q_off)
 
     @pl.when(j == 0)
     def _init():
@@ -309,7 +342,7 @@ def _flash_bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal)
+        ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal, q_off)
         s = jnp.where(ok, s, NEG_INF)
         # Dead rows (every key masked → lse ≈ NEG_INF): exp(s − lse) would
         # be 1 per visited key, count-inflating their grads (fp32 rounding
@@ -332,28 +365,29 @@ def _flash_bwd_dq_kernel(
 
 
 def _flash_bwd_dkv_kernel(
-    valid_ref,  # [1, 1, bk]
-    q_ref,      # [1, g, bq, hd]
-    k_ref,      # [1, 1, bk, hd]
-    v_ref,      # [1, 1, bk, hd]
-    do_ref,     # [1, g, bq, hd]
-    lse_ref,    # [1, 1, g*bq, 128] (lane-replicated)
-    delta_ref,  # [1, 1, g*bq, 128] (lane-replicated)
-    dk_ref,     # [1, 1, bk, hd] out
-    dv_ref,     # [1, 1, bk, hd] out
-    dk_scr,     # [bk, hd] f32
-    dv_scr,     # [bk, hd] f32
-    *,
+    *refs,      # [off_ref (1,) SMEM if with_offset,] valid_ref [1,1,bk],
+                # q_ref [1,g,bq,hd], k_ref [1,1,bk,hd], v_ref [1,1,bk,hd],
+                # do_ref [1,g,bq,hd], lse_ref / delta_ref [1,1,g*bq,128]
+                # (lane-replicated), dk_ref / dv_ref [1,1,bk,hd] out,
+                # dk_scr / dv_scr [bk,hd] f32
     scale: float,
     g: int,
     bq: int,
     bk: int,
     n_qb: int,
     causal: bool,
+    with_offset: bool,
 ):
+    if with_offset:
+        off_ref, refs = refs[0], refs[1:]
+        q_off = off_ref[0]
+    else:
+        q_off = 0
+    (valid_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+     dk_ref, dv_ref, dk_scr, dv_scr) = refs
     j = pl.program_id(2)
     i = pl.program_id(3)
-    i_first = _i_first(j, bq, bk, causal)
+    i_first = _i_first(j, bq, bk, causal, q_off)
 
     @pl.when(i == 0)
     def _init():
@@ -375,7 +409,7 @@ def _flash_bwd_dkv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal)
+        ok = _block_mask(i, j, valid_ref[0, 0, :], g, bq, bk, causal, q_off)
         s = jnp.where(ok, s, NEG_INF)
         # Dead-row zeroing — see the dq kernel for the rationale.
         p = jnp.where(lse <= NEG_INF / 2, 0.0, jnp.exp(s - lse))
@@ -403,6 +437,7 @@ def _flash_bwd_dkv_kernel(
 def _flash_bwd_call(
     q, k, v, key_valid, out, lse, dout,
     causal: bool, block_q: int, block_k: int, interpret: bool,
+    q_offset: Optional[jnp.ndarray] = None,
 ):
     B, S, nq, hd = q.shape
     T, nkv = k.shape[1], k.shape[2]
@@ -410,6 +445,13 @@ def _flash_bwd_call(
     n_qb = S // block_q
     n_kb = T // block_k
     scale = 1.0 / (hd ** 0.5)
+    with_offset = q_offset is not None
+    off_arg = (
+        [jnp.asarray(q_offset, jnp.int32).reshape(1)] if with_offset else []
+    )
+    off_spec = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] if with_offset else []
+    )
 
     valid3 = key_valid.astype(jnp.int32)[:, None, :]
     qt = q.transpose(0, 2, 1, 3)
@@ -433,16 +475,18 @@ def _flash_bwd_call(
     lse = jnp.broadcast_to(lse[..., None], (B, nkv, g * S, 128))
 
     def jc(i, j):
+        if with_offset:  # dynamic diagonal — index maps can't clamp it
+            return j
         return jnp.minimum(j, _j_last(i, block_q, block_k, n_kb, causal))
 
     dq_kernel = functools.partial(
         _flash_bwd_dq_kernel, scale=scale, g=g, bq=block_q, bk=block_k,
-        n_kb=n_kb, causal=causal,
+        n_kb=n_kb, causal=causal, with_offset=with_offset,
     )
     dq = pl.pallas_call(
         dq_kernel,
         grid=(B, nkv, n_qb, n_kb),
-        in_specs=[
+        in_specs=off_spec + [
             pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, jc(i, j)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g, block_q, hd), lambda b, h, i, j: (b, h, i, 0),
@@ -468,19 +512,21 @@ def _flash_bwd_call(
         out_shape=jax.ShapeDtypeStruct((B, nq, S, hd), q.dtype),
         scratch_shapes=[pltpu.VMEM((g * block_q, hd), jnp.float32)],
         interpret=interpret,
-    )(valid3, qt, kt, vt, dot, lse, delta)
+    )(*off_arg, valid3, qt, kt, vt, dot, lse, delta)
 
     def ic(j, i):
+        if with_offset:  # dynamic diagonal — index maps can't clamp it
+            return i
         return jnp.maximum(i, _i_first(j, block_q, block_k, causal))
 
     dkv_kernel = functools.partial(
         _flash_bwd_dkv_kernel, scale=scale, g=g, bq=block_q, bk=block_k,
-        n_qb=n_qb, causal=causal,
+        n_qb=n_qb, causal=causal, with_offset=with_offset,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(B, nkv, n_kb, n_qb),
-        in_specs=[
+        in_specs=off_spec + [
             pl.BlockSpec((1, 1, block_k), lambda b, h, j, i: (b, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g, block_q, hd),
@@ -515,7 +561,7 @@ def _flash_bwd_call(
             pltpu.VMEM((block_k, hd), jnp.float32),
         ],
         interpret=interpret,
-    )(valid3, qt, kt, vt, dot, lse, delta)
+    )(*off_arg, valid3, qt, kt, vt, dot, lse, delta)
 
     return dq.transpose(0, 2, 1, 3), dk.transpose(0, 2, 1, 3), dv.transpose(0, 2, 1, 3)
 
@@ -525,27 +571,34 @@ def _flash_bwd_call(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, key_valid, causal, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash(q, k, v, key_valid, q_offset, causal, block_q, block_k, interpret):
     out, _ = _flash_fwd_call(q, k, v, key_valid, causal, block_q, block_k,
-                             interpret, with_lse=False)
+                             interpret, with_lse=False, q_offset=q_offset)
     return out
 
 
-def _flash_vjp_fwd(q, k, v, key_valid, causal, block_q, block_k, interpret):
+def _flash_vjp_fwd(q, k, v, key_valid, q_offset, causal, block_q, block_k,
+                   interpret):
     out, lse = _flash_fwd_call(q, k, v, key_valid, causal, block_q, block_k,
-                               interpret, with_lse=True)
-    return out, (q, k, v, key_valid, out, lse)
+                               interpret, with_lse=True, q_offset=q_offset)
+    return out, (q, k, v, key_valid, q_offset, out, lse)
 
 
 def _flash_vjp_bwd(causal, block_q, block_k, interpret, res, dout):
-    q, k, v, key_valid, out, lse = res
+    q, k, v, key_valid, q_offset, out, lse = res
     dq, dk, dv = _flash_bwd_call(
-        q, k, v, key_valid, out, lse, dout, causal, block_q, block_k, interpret
+        q, k, v, key_valid, out, lse, dout, causal, block_q, block_k,
+        interpret, q_offset=q_offset,
     )
-    # key_valid is integer data: its cotangent is the empty float0 type.
+    # key_valid / q_offset are integer data: their cotangent is float0
+    # (or None when the offset wasn't supplied).
     dvalid = np.zeros(key_valid.shape, jax.dtypes.float0)
-    return dq, dk, dv, dvalid
+    doff = (
+        None if q_offset is None
+        else np.zeros(jnp.shape(q_offset), jax.dtypes.float0)
+    )
+    return dq, dk, dv, dvalid, doff
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
@@ -565,19 +618,78 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
     interpret: bool = False,
+    q_offset: Optional[jnp.ndarray] = None,  # scalar int32
 ) -> jnp.ndarray:
     """Flash attention in the model's ``[B, S, heads, head_dim]`` layout.
 
     ``S`` and ``T`` must be multiples of the block sizes (callers pad to the
-    prefill buckets, which are).  Queries are assumed to start at absolute
-    position 0 (prefill / training).  Returns ``[B, S, nq, hd]`` in q's
-    dtype.  Differentiable in (q, k, v) via the Pallas backward kernels.
+    prefill buckets, which are).  Queries start at absolute position
+    ``q_offset`` (default 0 — prefill / training; sequence-parallel shards
+    pass ``shard_index * S_local``, a traced scalar).  Returns
+    ``[B, S, nq, hd]`` in q's dtype.  Differentiable in (q, k, v) via the
+    Pallas backward kernels.
     """
     B, S, nq, hd = q.shape
     T = k.shape[1]
     if key_valid is None:
         key_valid = jnp.ones((B, T), jnp.int32)
+    if q_offset is not None:
+        assert causal, "q_offset only makes sense for causal attention"
     return _flash(
-        q, k, v, key_valid.astype(jnp.int32), causal, block_q, block_k,
-        interpret,
+        q, k, v, key_valid.astype(jnp.int32), q_offset, causal, block_q,
+        block_k, interpret,
+    )
+
+
+def flash_attention_sp(
+    q: jnp.ndarray,  # [B, S_local, nq, hd] — this shard's query slice
+    k: jnp.ndarray,  # [B, S_local, nkv, hd]
+    v: jnp.ndarray,  # [B, S_local, nkv, hd]
+    key_valid: Optional[jnp.ndarray] = None,  # [B, S_local] bool/int
+    *,
+    axis_name: str = "seq",
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Causal flash attention over a sequence-sharded axis (call INSIDE
+    ``jax.shard_map``; ``axis_name`` is the mesh axis the frame dimension is
+    sharded over).
+
+    Sequence parallelism for causal attention in ONE kernel call per shard:
+    all-gather K/V (cheap — O(S·D), the thing SP shards is the O(S²) score
+    work and the query-side activations), then run the causal kernel with
+    ``q_offset = shard_index * S_local``.  Because causality is evaluated at
+    GLOBAL positions against the same ``block_k``-aligned key blocks in the
+    same ascending order, every query row performs bit-identical online-
+    softmax updates to the unsharded kernel — the forward matches
+    :func:`flash_attention` on the gathered inputs exactly, with no
+    LSE-merge pass.  The backward differentiates through the all-gather
+    (its transpose is a ``psum_scatter``, so each shard's partial dK/dV
+    reduce back to the owner); dK/dV sum across shards in a different
+    order than the unsharded kernel's query-block loop — last-ulp fp
+    differences only.
+
+    Per-shard work is bounded by the LAST shard's causal triangle (the
+    SPMD lockstep critical path), which spans every key block — so the
+    unclammed index maps (future-block DMAs not elided; see
+    ``_flash_fwd_call``) cost no wall-clock.
+
+    Replaces the two-call LSE-merge design sketched in ROADMAP round 4:
+    same collective traffic, one kernel launch instead of two, and no
+    gradient path through a merged LSE to maintain.
+    """
+    S_local = q.shape[1]
+    if key_valid is None:
+        key_valid = jnp.ones(q.shape[:2], jnp.int32)
+    idx = jax.lax.axis_index(axis_name)
+    k_full = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
+    v_full = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
+    valid_full = jax.lax.all_gather(
+        key_valid.astype(jnp.int32), axis_name, axis=1, tiled=True
+    )
+    q_offset = (idx * S_local).astype(jnp.int32)
+    return flash_attention(
+        q, k_full, v_full, valid_full, causal=True, block_q=block_q,
+        block_k=block_k, interpret=interpret, q_offset=q_offset,
     )

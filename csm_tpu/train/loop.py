@@ -94,6 +94,7 @@ def make_train_step(
     remat_policy: str = "auto",
     use_flash: bool = True,
     decoder_frame_sharding=None,
+    sp_mesh=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -147,11 +148,13 @@ def make_train_step(
             # The flash kernel carries a Pallas backward (custom_vjp) since
             # round 3 — gradients flow through it on eligible shapes; remat
             # recomputes each backbone layer in the backward so full-context
-            # training fits in HBM.  Sequence-parallel meshes pass
-            # use_flash=False: a pallas_call cannot be SPMD-partitioned over
-            # the sharded frame axis, so SP rides the XLA attention path
-            # (K/V all-gathers inserted by the partitioner).
+            # training fits in HBM.  Sequence-parallel meshes pass sp_mesh:
+            # the kernel then runs under shard_map over the "seq" axis with
+            # a per-shard query offset (ops.flash_attention.flash_attention_sp);
+            # SP shapes the kernel's blocking can't cover fall back to XLA
+            # attention (K/V all-gathers inserted by the partitioner).
             use_flash=use_flash,
+            sp_mesh=sp_mesh,
             remat=remat,
             remat_policy=policy,
             # Mesh runs: shard the gathered decoder-loss frames (see
@@ -301,7 +304,11 @@ class CSMTrainer:
             remat=bool(getattr(args, "gradient_checkpointing", True)),
             remat_policy=str(getattr(args, "gradient_checkpointing_policy",
                                      "nothing")),
-            use_flash=self._seq == 1,
+            # seq > 1: the flash kernel runs under shard_map over the mesh's
+            # "seq" axis (per-shard query offset); ineligible shapes fall
+            # back to XLA attention inside backbone_forward.
+            use_flash=True,
+            sp_mesh=self.mesh if self._seq > 1 else None,
             # Shard the gathered decoder-loss frames over the whole
             # data x seq device grid (they replicate otherwise — the
             # largest SP activation at 1B; scripts/check_sp_memory.py).
@@ -356,7 +363,7 @@ class CSMTrainer:
                     apply_lora(bp, tp, self.lora_alpha, self.lora_rank),
                     self.config, b["input_ids"], b["attention_mask"],
                     labels=b["labels"], max_decoder_frames=self._max_dec,
-                    use_flash=self._seq == 1,
+                    sp_mesh=self.mesh if self._seq > 1 else None,
                 ))
             )
         else:
@@ -364,7 +371,7 @@ class CSMTrainer:
                 lambda p, _bp, b: _eval_out(csm.forward(
                     p, self.config, b["input_ids"], b["attention_mask"],
                     labels=b["labels"], max_decoder_frames=self._max_dec,
-                    use_flash=self._seq == 1,
+                    sp_mesh=self.mesh if self._seq > 1 else None,
                 ))
             )
         self._metrics_log: list = []

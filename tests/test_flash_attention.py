@@ -329,3 +329,130 @@ def test_training_grad_path_skips_flash():
         attention.set_attention_impl("auto")
     total = sum(float(np.abs(np.asarray(x)).sum()) for x in jax.tree.leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_flash_q_offset_matches_full_kernel():
+    """The q_offset path (sequence parallelism): running each query shard
+    with ``q_offset = shard * S_local`` against the full K/V must reproduce
+    the unsharded kernel BITWISE — same block_k-aligned key blocks visited
+    in the same ascending order, so every online-softmax update is
+    identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(7)
+    B, S, nq, nkv, hd = 2, 64, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    valid = np.ones((B, S), np.int32)
+    valid[:, :5] = 0  # left padding
+    valid = jnp.asarray(valid)
+
+    full = flash_attention(q, k, v, valid, block_q=16, block_k=16,
+                           interpret=True)
+    n_sh, S_loc = 4, S // 4
+    for s in range(n_sh):
+        out = flash_attention(
+            q[:, s * S_loc:(s + 1) * S_loc], k, v, valid,
+            block_q=16, block_k=16, interpret=True,
+            q_offset=jnp.int32(s * S_loc),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(full[:, s * S_loc:(s + 1) * S_loc])
+        )
+
+
+def test_flash_q_offset_grads_match_full_kernel():
+    """Gradients through the q_offset path: concatenating the per-shard
+    outputs and differentiating must match the unsharded kernel's grads
+    (dq bitwise — same per-row work; dk/dv to fp tolerance — cross-shard
+    accumulation order differs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from csm_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.default_rng(8)
+    B, S, nq, nkv, hd = 1, 32, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    valid = jnp.ones((B, S), jnp.int32)
+    cot = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+
+    def loss_full(q, k, v):
+        o = flash_attention(q, k, v, valid, block_q=8, block_k=8,
+                            interpret=True)
+        return jnp.sum(o * cot)
+
+    def loss_sharded(q, k, v):
+        outs = [
+            flash_attention(q[:, s * 8:(s + 1) * 8], k, v, valid,
+                            block_q=8, block_k=8, interpret=True,
+                            q_offset=jnp.int32(s * 8))
+            for s in range(4)
+        ]
+        return jnp.sum(jnp.concatenate(outs, axis=1) * cot)
+
+    g_full = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
+    g_sh = jax.grad(loss_sharded, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_array_equal(np.asarray(g_full[0]), np.asarray(g_sh[0]))
+    for a, b in zip(g_full[1:], g_sh[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_flash_attention_sp_shard_map_matches_full():
+    """``flash_attention_sp`` under a real ``shard_map`` over the virtual
+    CPU mesh's seq axis: forward equals the unsharded kernel bitwise;
+    gradients match to fp tolerance (dk/dv psum-scatter order)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from csm_tpu.ops.flash_attention import flash_attention, flash_attention_sp
+    from csm_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices (virtual CPU mesh)")
+    mesh = make_mesh(data=1, model=1, seq=4)
+
+    rng = np.random.default_rng(9)
+    B, S, nq, nkv, hd = 2, 64, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    valid = np.ones((B, S), np.int32)
+    valid[:, :3] = 0
+    valid = jnp.asarray(valid)
+
+    from functools import partial
+
+    sp = jax.shard_map(
+        partial(flash_attention_sp, axis_name="seq", block_q=16, block_k=16,
+                interpret=True),
+        mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq"),
+                  P(None, "seq")),
+        out_specs=P(None, "seq"),
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+    got = sp(q, k, v, valid)
+    want = flash_attention(q, k, v, valid, block_q=16, block_k=16,
+                           interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    cot = jnp.asarray(rng.standard_normal((B, S, nq, hd)), jnp.float32)
+    g_sp = jax.grad(lambda *a: jnp.sum(sp(*a, valid) * cot),
+                    argnums=(0, 1, 2))(q, k, v)
+    g_full = jax.grad(
+        lambda *a: jnp.sum(flash_attention(
+            *a, valid, block_q=16, block_k=16, interpret=True) * cot),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_full, g_sp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -122,6 +122,52 @@ def test_sequence_parallel_matches_dp(trainer_setup, tmp_path):
                                    rtol=2e-3, atol=1e-5)
 
 
+@pytest.mark.slow
+def test_sequence_parallel_flash_matches_dp(trainer_setup, tmp_path):
+    """Flash attention UNDER sequence parallelism: with the flash impl
+    forced (interpret mode on CPU), an SP mesh routes backbone attention
+    through ``flash_attention_sp`` — the kernel under ``shard_map`` with a
+    per-shard query offset — and must train the same losses as a plain DP
+    mesh on the XLA path (round-4 verdict item #7)."""
+    import jax
+
+    from csm_tpu.models import csm
+    from csm_tpu.ops.attention import set_attention_impl, sp_flash_eligible
+    from csm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=2, model=2, seq=2)
+    cfg, _, TA, CT, mm = trainer_setup
+    bb = cfg.backbone
+
+    runs = {}
+    try:
+        # Shape-eligibility sanity (with flash forced, as the SP run below
+        # sets it): that run must actually take the shard_map flash path,
+        # not silently fall back to XLA attention.
+        set_attention_impl("flash")
+        assert sp_flash_eligible(mesh, 2, 16, bb.num_attention_heads,
+                                 bb.num_key_value_heads, bb.head_dim)
+        for name, impl, kw in (
+            ("dp", "auto", dict(data=2, model=1, seq=1)),
+            ("dp_sp_tp", "flash", dict(data=2, model=2, seq=2)),
+        ):
+            set_attention_impl(impl)
+            params = csm.init_params(jax.random.key(0), cfg)
+            trainer = _make_trainer(cfg, params, TA, CT, mm,
+                                    tmp_path / name, epochs=4, **kw)
+            trainer.train()
+            runs[name] = trainer._metrics_log
+    finally:
+        set_attention_impl("auto")
+    assert len(runs["dp"]) == len(runs["dp_sp_tp"]) >= 2
+    for a, b in zip(runs["dp"], runs["dp_sp_tp"]):
+        np.testing.assert_allclose(a["loss"], b["loss"], rtol=5e-4)
+        np.testing.assert_allclose(a["backbone_loss"], b["backbone_loss"],
+                                   rtol=5e-4)
+        np.testing.assert_allclose(a["decoder_loss"], b["decoder_loss"],
+                                   rtol=2e-3, atol=1e-5)
+
+
 def test_epoch_to_steps_rescheduling(trainer_setup, tmp_path):
     """save_strategy='epoch' converts to steps_per_old_epoch
     (``train.py:414-433``)."""
