@@ -681,6 +681,46 @@ def main():
                  "agreement line below)",
         )
 
+        # Batched EXACT tier: the same parity contract at serving batch.
+        # Every piece batches as-is — the streamed bf16 backbone kernel is
+        # hardware-validated at B=8 (KERNEL_CHECKS bb_kernel_B8_W256_exact,
+        # 3.06 ms/step) and the speculative draft kernel's resident cap IS
+        # 8 (fused_decoder.MAX_VALIDATED_B).  Batched parity is gated on
+        # hardware by scripts/check_exact_batch_hw.py (free-run greedy
+        # token identity vs the XLA bf16 path across all 8 streams).
+        if not args.skip_batch:
+            print("  exact-tier batch-8 aggregate...", file=sys.stderr)
+            ids_b, mask_b = prompt(8)
+
+            def run_exact_b(max_new, key):
+                frames, n = generate_compiled(
+                    t_params, config, ids_b, mask_b, jnp.int32(S), key,
+                    max_new_frames=max_new, temperature=1.0, topk=50,
+                    greedy=True, stop_on_all_zeros=False,
+                    stop_mode="stream", qdec=qdec8t, qsb=qsb16,
+                    specdec=True,
+                )
+                return frames, int(np.asarray(n).sum())
+
+            _, tot_b = run_exact_b(args.frames, jax.random.key(1))
+            times_b = []
+            for i in range(args.reps):
+                t0 = time.time()
+                _, tot_b = run_exact_b(args.frames, jax.random.key(2 + i))
+                times_b.append(time.time() - t0)
+            med_b = sorted(times_b)[len(times_b) // 2]
+            fps_b = tot_b / med_b
+            _emit(
+                "csm1b_frames_per_sec_batch8_aggregate_exact", fps_b,
+                "frames/s", fps_b / BASELINE_FPS, reps=args.reps,
+                spread_pct=100.0 * (max(times_b) - min(times_b)) / med_b,
+                overfit_steps=args.overfit_steps,
+                note="bf16-parity tier at serving batch: every stream's "
+                     "tokens arbitrated by the teacher-forced bf16 verify "
+                     "pass; batched parity gated in KERNEL_CHECKS "
+                     "exact_batch8_serving",
+            )
+
         # Trained-weights teacher-forced agreement (same harness as
         # section 4, on the sharpened params).
         print("  trained-weights agreement...", file=sys.stderr)

@@ -62,6 +62,16 @@ def build_block(metrics: dict) -> str:
             f"{i4['value']:.0f} frames/s ({fmt_rt(i4['value'])})",
             f"{i4['vs_baseline']:.0f}×",
         )
+    bx = m("csm1b_frames_per_sec_batch8_aggregate_exact")
+    if bx:
+        row(
+            "batched serving, 8 streams, **EXACT bf16-parity tier** "
+            "(specdec at batch; parity gated in KERNEL_CHECKS "
+            "`exact_batch8_serving`)",
+            f"**{bx['value']:.0f} frames/s** aggregate "
+            f"({fmt_rt(bx['value'] / 8)} per stream)",
+            f"**{bx['vs_baseline']:.0f}×**",
+        )
     for b in (8, 16, 32):
         a = m(f"csm1b_frames_per_sec_batch{b}_aggregate")
         if a:

@@ -336,10 +336,16 @@ def test_readme_perf_generator_roundtrip(tmp_path):
             "metric": "csm1b_exact_teacher_forced_token_agreement_pct",
             "value": 100.0, "vs_baseline": 1.0,
         },
+        "csm1b_frames_per_sec_batch8_aggregate_exact": {
+            "metric": "csm1b_frames_per_sec_batch8_aggregate_exact",
+            "value": 1200.0, "vs_baseline": 156.0,
+        },
     }
     block = mod.build_block(metrics)
     assert "EXACT bf16-parity tier" in block
     assert "**150 frames/s**" in block
+    assert "**1200 frames/s** aggregate" in block
+    assert "exact_batch8_serving" in block
     assert "EXACT tier 100 %" in block
     assert block.startswith(mod.BEGIN) and block.endswith(mod.END)
     # marker replacement is idempotent
